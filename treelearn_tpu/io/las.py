@@ -1,0 +1,285 @@
+"""Minimal pure-numpy LAS reader/writer.
+
+The reference delegates LAS/LAZ I/O to laspy(+lazrs) (reference:
+tree_learn/util/data_preparation.py:28-33, tree_learn/util/pipeline.py:349-384).
+laspy is not available in this environment, so we ship a small native codec:
+
+* Reader: LAS 1.0-1.4, all core point formats (0-10); decodes X/Y/Z with
+  scale+offset, `classification`, and named extra-bytes dimensions (e.g.
+  ``treeID``) declared through an Extra Bytes VLR.
+* Writer: LAS 1.2, point format 3 (xyz + RGB) with a ``treeID`` uint32 extra
+  dimension — the exact layout the reference writes.
+
+LAZ (compressed) is not supported natively; if ``laspy`` with a LAZ backend is
+importable we transparently fall back to it for ``.laz`` files.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+# Point record length and position of fields for the core LAS point formats.
+# Format: id -> (record_len, gps_time_offset_or_None, rgb_offset_or_None)
+_POINT_FORMATS = {
+    0: (20, None, None),
+    1: (28, 20, None),
+    2: (26, None, 20),
+    3: (34, 20, 28),
+    4: (57, 20, None),
+    5: (63, 20, 28),
+    6: (30, 22, None),
+    7: (36, 22, 30),
+    8: (38, 22, 30),
+    9: (59, 22, None),
+    10: (67, 22, 30),
+}
+
+# Extra-bytes VLR data_type ids -> numpy dtype (LAS 1.4 spec, table 24).
+_EB_DTYPES = {
+    1: np.dtype("<u1"), 2: np.dtype("<i1"), 3: np.dtype("<u2"), 4: np.dtype("<i2"),
+    5: np.dtype("<u4"), 6: np.dtype("<i4"), 7: np.dtype("<u8"), 8: np.dtype("<i8"),
+    9: np.dtype("<f4"), 10: np.dtype("<f8"),
+}
+_EB_TYPE_OF_DTYPE = {v: k for k, v in _EB_DTYPES.items()}
+
+
+@dataclass
+class LasData:
+    """Decoded LAS contents."""
+    xyz: np.ndarray                               # (N, 3) float64, scaled+offset applied
+    classification: Optional[np.ndarray] = None   # (N,) uint8
+    rgb: Optional[np.ndarray] = None              # (N, 3) uint16
+    gps_time: Optional[np.ndarray] = None         # (N,) float64
+    intensity: Optional[np.ndarray] = None        # (N,) uint16
+    extra: Dict[str, np.ndarray] = field(default_factory=dict)  # named extra dims
+
+    def __getattr__(self, name):
+        extra = object.__getattribute__(self, "extra")
+        if name in extra:
+            return extra[name]
+        raise AttributeError(name)
+
+    def has_dim(self, name: str) -> bool:
+        return name in self.extra or getattr(self, name, None) is not None
+
+
+def _parse_extra_bytes_vlr(payload: bytes):
+    """Parse an Extra Bytes VLR payload into [(name, dtype), ...]."""
+    dims = []
+    n = len(payload) // 192
+    for i in range(n):
+        rec = payload[i * 192:(i + 1) * 192]
+        data_type = rec[2]
+        name = rec[4:36].split(b"\x00", 1)[0].decode("ascii", errors="replace")
+        if data_type in _EB_DTYPES:
+            dims.append((name, _EB_DTYPES[data_type]))
+        else:
+            # deprecated array/undocumented types: skip but keep byte accounting
+            options = rec[3]
+            dims.append((name, np.dtype(("<u1", max(options, 1)))))
+    return dims
+
+
+def read_las(path: str) -> LasData:
+    """Read a .las file (or .laz via laspy if available)."""
+    if str(path).lower().endswith(".laz"):
+        return _read_with_laspy(path)
+
+    with open(path, "rb") as f:
+        raw = f.read()
+
+    if raw[:4] != b"LASF":
+        raise ValueError(f"{path} is not a LAS file (bad signature)")
+
+    ver_major, ver_minor = raw[24], raw[25]
+    header_size = struct.unpack_from("<H", raw, 94)[0]
+    offset_to_points = struct.unpack_from("<I", raw, 96)[0]
+    n_vlrs = struct.unpack_from("<I", raw, 100)[0]
+    point_format = raw[104]
+    point_format &= 0x3F  # strip LAZ compressor bits if present
+    point_len = struct.unpack_from("<H", raw, 105)[0]
+    n_points = struct.unpack_from("<I", raw, 107)[0]
+    scales = struct.unpack_from("<3d", raw, 131)
+    offsets = struct.unpack_from("<3d", raw, 155)
+    if ver_minor >= 4:
+        n_points_64 = struct.unpack_from("<Q", raw, 247)[0]
+        if n_points_64:
+            n_points = n_points_64
+
+    if point_format not in _POINT_FORMATS:
+        raise ValueError(f"unsupported LAS point format {point_format}")
+    base_len, gps_off, rgb_off = _POINT_FORMATS[point_format]
+
+    # walk VLRs for extra-bytes descriptors
+    extra_dims = []
+    pos = header_size
+    for _ in range(n_vlrs):
+        user_id = raw[pos + 2:pos + 18].split(b"\x00", 1)[0]
+        record_id = struct.unpack_from("<H", raw, pos + 18)[0]
+        rec_len = struct.unpack_from("<H", raw, pos + 20)[0]
+        payload = raw[pos + 54:pos + 54 + rec_len]
+        if user_id == b"LASF_Spec" and record_id == 4:
+            extra_dims = _parse_extra_bytes_vlr(payload)
+        pos += 54 + rec_len
+
+    body = raw[offset_to_points:offset_to_points + n_points * point_len]
+    records = np.frombuffer(body, dtype=np.uint8).reshape(n_points, point_len)
+
+    def view(col_off, dtype, count=1):
+        width = np.dtype(dtype).itemsize * count
+        arr = records[:, col_off:col_off + width].copy()
+        out = arr.view(dtype)
+        return out.reshape(n_points, count) if count > 1 else out.reshape(n_points)
+
+    ixyz = view(0, "<i4", 3).astype(np.float64)
+    xyz = ixyz * np.asarray(scales) + np.asarray(offsets)
+    intensity = view(12, "<u2")
+    if point_format >= 6:
+        classification = view(16, "<u1")
+    else:
+        classification = view(15, "<u1") & 0x1F  # low 5 bits in legacy formats
+
+    rgb = view(rgb_off, "<u2", 3) if rgb_off is not None else None
+    gps_time = view(gps_off, "<f8") if gps_off is not None else None
+
+    extra = {}
+    eb_pos = base_len
+    for name, dtype in extra_dims:
+        if eb_pos + dtype.itemsize > point_len:
+            break
+        if dtype.subdtype is None:
+            extra[name] = view(eb_pos, dtype)
+        eb_pos += dtype.itemsize
+
+    return LasData(xyz=xyz, classification=classification, rgb=rgb,
+                   gps_time=gps_time, intensity=intensity, extra=extra)
+
+
+def _read_with_laspy(path: str) -> LasData:
+    try:
+        import laspy  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            f"cannot read {path}: LAZ decoding requires laspy+lazrs, which are not "
+            "installed in this environment. Convert to .las/.npz first."
+        ) from e
+    lf = laspy.read(path)
+    xyz = np.vstack([
+        lf.X * lf.header.scales[0] + lf.header.offsets[0],
+        lf.Y * lf.header.scales[1] + lf.header.offsets[1],
+        lf.Z * lf.header.scales[2] + lf.header.offsets[2],
+    ]).T
+    extra = {}
+    if hasattr(lf, "treeID"):
+        extra["treeID"] = np.asarray(lf.treeID)
+    return LasData(
+        xyz=xyz,
+        classification=np.asarray(lf.classification),
+        extra=extra,
+    )
+
+
+def write_las(
+    path: str,
+    xyz: np.ndarray,
+    classification: Optional[np.ndarray] = None,
+    rgb: Optional[np.ndarray] = None,
+    extra: Optional[Dict[str, np.ndarray]] = None,
+    scales=(0.001, 0.001, 0.001),
+    offsets=(0.0, 0.0, 0.0),
+) -> None:
+    """Write a LAS 1.2 point-format-3 file with optional uint/float extra dims.
+
+    Layout parity with the reference's laspy writer
+    (reference: tree_learn/util/pipeline.py:349-384).
+    """
+    xyz = np.asarray(xyz, dtype=np.float64)
+    n = len(xyz)
+    extra = dict(extra or {})
+    scales = np.asarray(scales, dtype=np.float64)
+    offsets = np.asarray(offsets, dtype=np.float64)
+
+    eb_dims = []
+    for name, arr in extra.items():
+        arr = np.ascontiguousarray(arr)
+        dtype = arr.dtype.newbyteorder("<")
+        if dtype not in _EB_TYPE_OF_DTYPE:
+            raise ValueError(f"unsupported extra-dim dtype {arr.dtype} for '{name}'")
+        eb_dims.append((name, dtype, arr))
+
+    base_len = 34
+    point_len = base_len + sum(d.itemsize for _, d, _ in eb_dims)
+
+    # --- VLR (extra bytes) ---
+    vlr_blobs = b""
+    n_vlrs = 0
+    if eb_dims:
+        payload = b""
+        for name, dtype, _ in eb_dims:
+            rec = bytearray(192)
+            rec[2] = _EB_TYPE_OF_DTYPE[dtype]
+            rec[4:4 + min(32, len(name))] = name.encode("ascii")[:32]
+            payload += bytes(rec)
+        vlr_header = struct.pack("<H16sHH32s", 0, b"LASF_Spec", 4, len(payload), b"Extra Bytes")
+        vlr_blobs = vlr_header + payload
+        n_vlrs = 1
+
+    header_size = 227
+    offset_to_points = header_size + len(vlr_blobs)
+
+    ixyz = np.round((xyz - offsets) / scales).astype(np.int64)
+    if np.any(np.abs(ixyz) > np.iinfo(np.int32).max):
+        # re-center offsets so int32 fits
+        offsets = xyz.mean(0)
+        ixyz = np.round((xyz - offsets) / scales).astype(np.int64)
+    ixyz = ixyz.astype("<i4")
+
+    records = np.zeros((n, point_len), dtype=np.uint8)
+
+    def put(col_off, arr):
+        arr = np.ascontiguousarray(arr)
+        width = arr.dtype.itemsize * (arr.shape[1] if arr.ndim > 1 else 1)
+        records[:, col_off:col_off + width] = arr.view(np.uint8).reshape(n, width)
+
+    put(0, ixyz)
+    # intensity (12, u2) zeros; return byte (14) -> 1 return, first
+    records[:, 14] = 0b00001001
+    if classification is not None:
+        records[:, 15] = np.asarray(classification, dtype=np.uint8)
+    # gps time at 20 stays zero
+    if rgb is not None:
+        put(28, np.asarray(rgb, dtype="<u2"))
+    pos = base_len
+    for name, dtype, arr in eb_dims:
+        put(pos, arr.astype(dtype))
+        pos += dtype.itemsize
+
+    xyz_min = xyz.min(0) if n else np.zeros(3)
+    xyz_max = xyz.max(0) if n else np.zeros(3)
+
+    header = bytearray(header_size)
+    header[0:4] = b"LASF"
+    header[24] = 1   # version major
+    header[25] = 2   # version minor
+    header[26:26 + 13] = b"treelearn_tpu"
+    header[58:58 + 13] = b"treelearn_tpu"
+    struct.pack_into("<H", header, 94, header_size)
+    struct.pack_into("<I", header, 96, offset_to_points)
+    struct.pack_into("<I", header, 100, n_vlrs)
+    header[104] = 3  # point format
+    struct.pack_into("<H", header, 105, point_len)
+    struct.pack_into("<I", header, 107, n)
+    struct.pack_into("<5I", header, 111, n, 0, 0, 0, 0)
+    struct.pack_into("<3d", header, 131, *scales)
+    struct.pack_into("<3d", header, 155, *offsets)
+    struct.pack_into("<6d", header, 179,
+                     xyz_max[0], xyz_min[0], xyz_max[1], xyz_min[1], xyz_max[2], xyz_min[2])
+
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(vlr_blobs)
+        f.write(records.tobytes())

@@ -1,0 +1,300 @@
+"""Functional model blocks: BatchNorm, MLP, ResidualBlock, UBlock.
+
+Parity targets (reference: tree_learn/model/blocks.py):
+* ``MLP`` — Linear(C,C) + BN + ReLU + Linear(C,out)   (blocks.py:8-26)
+* ``Custom1x1Subm3d`` — 1x1 sparse conv as plain matmul (blocks.py:29-39)
+* ``ResidualBlock`` — pre-activation BN-ReLU-SubMConv x2 + identity/1x1
+  shortcut (blocks.py:42-79)
+* ``UBlock`` — recursive U-Net level (blocks.py:81-149)
+
+Everything is a pure function over explicit pytrees.  Parameter trees are
+nested dicts whose key paths mirror the reference's torch ``state_dict`` names
+(e.g. ``unet.blocks.block0.conv_branch.2.weight``) so checkpoint import is a
+mechanical relayout.  BatchNorm running statistics live in a parallel ``state``
+tree with the same key paths.
+
+Sparse convs consume the per-level rulebooks from ops/sparse.py; all subm convs
+of a level share one rulebook (spconv ``indice_key='subm{i}'`` parity) and the
+down/inverse pair shares one DownsampleRulebook (``indice_key='spconv{i}'``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sparse import (
+    DownsampleRulebook,
+    SparseGrid,
+    build_downsample,
+    build_subm_rulebook,
+    down_conv,
+    inverse_conv,
+    subm_conv,
+)
+
+BN_EPS = 1e-4       # reference tree_learn.py:34
+BN_MOMENTUM = 0.1   # reference tree_learn.py:34
+
+
+# ---------------------------------------------------------------------------
+# Parameter initializers
+# ---------------------------------------------------------------------------
+
+def init_bn(channels: int):
+    params = {
+        "weight": jnp.ones((channels,), jnp.float32),
+        "bias": jnp.zeros((channels,), jnp.float32),
+    }
+    state = {
+        "running_mean": jnp.zeros((channels,), jnp.float32),
+        "running_var": jnp.ones((channels,), jnp.float32),
+    }
+    return params, state
+
+
+def _kaiming_uniform(key, shape, fan_in):
+    # torch's default conv/linear init: kaiming uniform with a=sqrt(5)
+    bound = math.sqrt(6.0 / ((1 + 5.0) * fan_in)) * math.sqrt(2.0)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def init_subm_conv(key, kernel_size: int, c_in: int, c_out: int):
+    k = kernel_size ** 3
+    fan_in = c_in * k
+    return {"weight": _kaiming_uniform(key, (k, c_in, c_out), fan_in)}
+
+
+def init_down_conv(key, c_in: int, c_out: int):
+    return {"weight": _kaiming_uniform(key, (8, c_in, c_out), c_in * 8)}
+
+
+def init_linear(key, c_in: int, c_out: int, xavier: bool = False, normal_std: Optional[float] = None):
+    kw, kb = jax.random.split(key)
+    if normal_std is not None:
+        w = jax.random.normal(kw, (c_out, c_in), jnp.float32) * normal_std
+        b = jnp.zeros((c_out,), jnp.float32)
+    elif xavier:
+        bound = math.sqrt(6.0 / (c_in + c_out))
+        w = jax.random.uniform(kw, (c_out, c_in), jnp.float32, -bound, bound)
+        b = jnp.zeros((c_out,), jnp.float32)
+    else:
+        w = _kaiming_uniform(kw, (c_out, c_in), c_in)
+        bound = 1.0 / math.sqrt(c_in)
+        b = jax.random.uniform(kb, (c_out,), jnp.float32, -bound, bound)
+    return {"weight": w, "bias": b}
+
+
+# ---------------------------------------------------------------------------
+# Primitive applies
+# ---------------------------------------------------------------------------
+
+def apply_bn(params, state, x, live, *, training: bool, frozen: bool = False):
+    """BatchNorm1d over live rows (padding rows excluded from batch stats).
+
+    Matches torch semantics: normalize with biased batch variance during
+    training, update running_var with the unbiased estimate; eval mode uses
+    running stats.  ``frozen`` forces eval-mode stats (fixed_modules parity,
+    reference tree_learn.py:66-72).
+    """
+    w = params["weight"].astype(x.dtype)
+    b = params["bias"].astype(x.dtype)
+    if training and not frozen:
+        livef = live.astype(jnp.float32)[:, None]
+        cnt = jnp.maximum(livef.sum(), 1.0)
+        xf = x.astype(jnp.float32)
+        mean = (xf * livef).sum(0) / cnt
+        var = (jnp.square(xf - mean) * livef).sum(0) / cnt
+        unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+        new_state = {
+            "running_mean": (1 - BN_MOMENTUM) * state["running_mean"] + BN_MOMENTUM * mean,
+            "running_var": (1 - BN_MOMENTUM) * state["running_var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean = state["running_mean"]
+        var = state["running_var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + BN_EPS).astype(x.dtype)
+    y = (x - mean.astype(x.dtype)) * inv * w + b
+    return y, new_state
+
+
+def apply_linear(params, x):
+    return x @ params["weight"].T.astype(x.dtype) + params["bias"].astype(x.dtype)
+
+
+def apply_mlp(params, state, x, live, *, training: bool, frozen: bool = False):
+    """MLP parity (blocks.py:8-18): Linear -> BN -> ReLU -> Linear.
+
+    Torch Sequential indices: 0 = Linear, 1 = BN, 3 = final Linear.
+    """
+    y = apply_linear(params["0"], x)
+    y, bn_state = apply_bn(params["1"], state["1"], y, live, training=training, frozen=frozen)
+    y = jax.nn.relu(y)
+    y = apply_linear(params["3"], y)
+    return y, {"1": bn_state}
+
+
+def init_mlp(key, c_in: int, c_out: int):
+    """Weight init parity (blocks.py:20-26): xavier on hidden, N(0, 0.01) on out."""
+    k0, k1 = jax.random.split(key)
+    bn_p, bn_s = init_bn(c_in)
+    params = {
+        "0": init_linear(k0, c_in, c_in, xavier=True),
+        "1": bn_p,
+        "3": init_linear(k1, c_in, c_out, normal_std=0.01),
+    }
+    return params, {"1": bn_s}
+
+
+# ---------------------------------------------------------------------------
+# Residual block
+# ---------------------------------------------------------------------------
+
+def init_residual_block(key, c_in: int, c_out: int, kernel_size: int):
+    k0, k1, k2 = jax.random.split(key, 3)
+    bn0_p, bn0_s = init_bn(c_in)
+    bn3_p, bn3_s = init_bn(c_out)
+    params = {
+        "conv_branch": {
+            "0": bn0_p,
+            "2": init_subm_conv(k0, kernel_size, c_in, c_out),
+            "3": bn3_p,
+            "5": init_subm_conv(k1, kernel_size, c_out, c_out),
+        }
+    }
+    state = {"conv_branch": {"0": bn0_s, "3": bn3_s}}
+    if c_in != c_out:
+        # Custom1x1Subm3d stores weight as (c_out, 1, 1, 1, c_in) in torch; we
+        # keep the collapsed (c_out, c_in) matmul form (blocks.py:29-39).
+        params["i_branch"] = {"0": {"weight": _kaiming_uniform(k2, (c_out, c_in), c_in)}}
+    return params, state
+
+
+def apply_residual_block(params, state, x, rule, live, *, training: bool, frozen: bool = False):
+    """Pre-activation residual block (blocks.py:42-79)."""
+    cb, cs = params["conv_branch"], state["conv_branch"]
+    y, s0 = apply_bn(cb["0"], cs["0"], x, live, training=training, frozen=frozen)
+    y = jax.nn.relu(y)
+    y = subm_conv(y, cb["2"]["weight"].astype(x.dtype), rule, live)
+    y, s3 = apply_bn(cb["3"], cs["3"], y, live, training=training, frozen=frozen)
+    y = jax.nn.relu(y)
+    y = subm_conv(y, cb["5"]["weight"].astype(x.dtype), rule, live)
+
+    if "i_branch" in params:
+        shortcut = x @ params["i_branch"]["0"]["weight"].T.astype(x.dtype)
+    else:
+        shortcut = x
+    out = y + shortcut
+    out = jnp.where(live[:, None], out, 0.0)
+    return out, {"conv_branch": {"0": s0, "3": s3}}
+
+
+# ---------------------------------------------------------------------------
+# UBlock (recursive U-Net level)
+# ---------------------------------------------------------------------------
+
+class LevelPlan(NamedTuple):
+    """Precomputed sparse topology of one U-Net level (shared by all its
+    blocks — the spconv indice_key cache made explicit)."""
+
+    grid: SparseGrid
+    subm_rule: jnp.ndarray                  # (K, V) gather table
+    down: Optional[DownsampleRulebook]      # None at the deepest level
+
+
+def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
+                      capacities: Sequence[int]) -> Tuple[LevelPlan, ...]:
+    """Build all rulebooks for a tile once (reference builds them lazily inside
+    spconv and caches by indice_key; we do it up front, still one-time work)."""
+    plans = []
+    g = grid
+    for lvl in range(num_levels):
+        rule = build_subm_rulebook(g, kernel_size)
+        if lvl < num_levels - 1:
+            rb = build_downsample(g, int(capacities[lvl + 1]))
+            plans.append(LevelPlan(grid=g, subm_rule=rule, down=rb))
+            g = rb.out_grid
+        else:
+            plans.append(LevelPlan(grid=g, subm_rule=rule, down=None))
+    return tuple(plans)
+
+
+def init_ublock(key, n_planes: Sequence[int], block_reps: int, kernel_size: int):
+    keys = jax.random.split(key, 6)
+    params, state = {}, {}
+
+    blocks_p, blocks_s = {}, {}
+    for i in range(block_reps):
+        bp, bs = init_residual_block(
+            jax.random.fold_in(keys[0], i), n_planes[0], n_planes[0], kernel_size)
+        blocks_p[f"block{i}"] = bp
+        blocks_s[f"block{i}"] = bs
+    params["blocks"], state["blocks"] = blocks_p, blocks_s
+
+    if len(n_planes) > 1:
+        bn_p, bn_s = init_bn(n_planes[0])
+        params["conv"] = {"0": bn_p, "2": init_down_conv(keys[1], n_planes[0], n_planes[1])}
+        state["conv"] = {"0": bn_s}
+
+        up, us = init_ublock(keys[2], n_planes[1:], block_reps, kernel_size)
+        params["u"], state["u"] = up, us
+
+        bn2_p, bn2_s = init_bn(n_planes[1])
+        params["deconv"] = {"0": bn2_p, "2": init_down_conv(keys[3], n_planes[1], n_planes[0])}
+        state["deconv"] = {"0": bn2_s}
+
+        tail_p, tail_s = {}, {}
+        for i in range(block_reps):
+            bp, bs = init_residual_block(
+                jax.random.fold_in(keys[4], i),
+                n_planes[0] * (2 - i), n_planes[0], kernel_size)
+            tail_p[f"block{i}"] = bp
+            tail_s[f"block{i}"] = bs
+        params["blocks_tail"], state["blocks_tail"] = tail_p, tail_s
+    return params, state
+
+
+def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
+                 *, block_reps: int, training: bool, frozen: bool = False):
+    """Recursive UBlock forward (blocks.py:137-149)."""
+    plan = plans[level]
+    live = plan.grid.live_mask
+    new_state = {"blocks": {}}
+
+    for i in range(block_reps):
+        x, s = apply_residual_block(
+            params["blocks"][f"block{i}"], state["blocks"][f"block{i}"],
+            x, plan.subm_rule, live, training=training, frozen=frozen)
+        new_state["blocks"][f"block{i}"] = s
+
+    if "u" in params:
+        identity = x
+        y, s = apply_bn(params["conv"]["0"], state["conv"]["0"], x, live,
+                        training=training, frozen=frozen)
+        new_state["conv"] = {"0": s}
+        y = jax.nn.relu(y)
+        y = down_conv(y, params["conv"]["2"]["weight"].astype(x.dtype), plan.down)
+
+        y, s = apply_ublock(params["u"], state["u"], y, plans, level + 1,
+                            block_reps=block_reps, training=training, frozen=frozen)
+        new_state["u"] = s
+
+        coarse_live = plan.down.out_grid.live_mask
+        y, s = apply_bn(params["deconv"]["0"], state["deconv"]["0"], y, coarse_live,
+                        training=training, frozen=frozen)
+        new_state["deconv"] = {"0": s}
+        y = jax.nn.relu(y)
+        y = inverse_conv(y, params["deconv"]["2"]["weight"].astype(x.dtype), plan.down, live)
+
+        x = jnp.concatenate([identity, y], axis=1)
+        new_state["blocks_tail"] = {}
+        for i in range(block_reps):
+            x, s = apply_residual_block(
+                params["blocks_tail"][f"block{i}"], state["blocks_tail"][f"block{i}"],
+                x, plan.subm_rule, live, training=training, frozen=frozen)
+            new_state["blocks_tail"][f"block{i}"] = s
+    return x, new_state

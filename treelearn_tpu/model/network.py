@@ -1,0 +1,186 @@
+"""The TreeLearn model: sparse U-Net backbone + semantic/offset heads.
+
+Parity target: reference tree_learn/model/tree_learn.py.  The torch module
+tree becomes a pure function over (params, state) pytrees; in-model
+voxelization (PointToVoxel + nan-mean, tree_learn.py:129-167) is the fused
+sort-based pooling in ops/voxelize.py; the spconv backbone is the rulebook
+engine in ops/sparse.py.  One jit-compiled function runs voxelization,
+rulebook construction, U-Net, and per-point heads end to end on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.voxelize import devoxelize, voxelize_points
+from ..ops.sparse import grid_from_sorted_keys
+from .blocks import (
+    apply_bn,
+    apply_mlp,
+    apply_ublock,
+    build_level_plans,
+    init_bn,
+    init_mlp,
+    init_subm_conv,
+    init_ublock,
+)
+
+LOSS_MULTIPLIER_SEMANTIC = 50  # reference tree_learn.py:9
+
+
+def default_capacities(base_capacity: int, num_levels: int, floor: int = 512) -> Tuple[int, ...]:
+    """Per-level voxel capacities: halve per downsample (conservative for
+    surface-like LiDAR sparsity), floor to keep tiny levels cheap-but-valid."""
+    return tuple(max(base_capacity >> i, floor) for i in range(num_levels))
+
+
+class TreeLearn:
+    """Configuration container + pure init/apply for the network.
+
+    Architecture (reference tree_learn.py:36-46, configs/_modular/model.yaml):
+    input SubMConv3d (dim_coord+dim_feat -> channels, k=3) -> UBlock over
+    [channels * (i+1)] * num_blocks -> BN+ReLU -> per-point gather -> two MLPs
+    (semantic 2-way, offset 3-dim).
+    """
+
+    def __init__(
+        self,
+        channels: int = 32,
+        num_blocks: int = 7,
+        kernel_size: int = 3,
+        dim_coord: int = 3,
+        dim_feat: int = 1,
+        fixed_modules: Sequence[str] = (),
+        use_feats: bool = False,
+        use_coords: bool = False,
+        spatial_shape: Optional[Sequence[int]] = None,
+        max_num_points_per_voxel: int = 3,
+        voxel_size: float = 0.1,
+        block_reps: int = 2,
+        **kwargs,
+    ):
+        self.channels = channels
+        self.num_blocks = num_blocks
+        self.kernel_size = kernel_size
+        self.dim_coord = dim_coord
+        self.dim_feat = dim_feat
+        self.fixed_modules = tuple(fixed_modules)
+        self.use_feats = use_feats
+        self.use_coords = use_coords
+        self.spatial_shape = tuple(spatial_shape) if spatial_shape is not None else None
+        self.max_pts = max_num_points_per_voxel
+        self.voxel_size = voxel_size
+        self.block_reps = block_reps
+        self.block_channels = [channels * (i + 1) for i in range(num_blocks)]
+        self.in_channels = dim_coord + dim_feat
+
+    # -- parameters ---------------------------------------------------------
+
+    def init(self, key):
+        k0, k1, k2, k3 = jax.random.split(key, 4)
+        params, state = {}, {}
+        params["input_conv"] = {"0": init_subm_conv(k0, self.kernel_size,
+                                                    self.in_channels, self.channels)}
+        up, us = init_ublock(k1, self.block_channels, self.block_reps, self.kernel_size)
+        params["unet"], state["unet"] = up, us
+        bn_p, bn_s = init_bn(self.channels)
+        params["output_layer"] = {"0": bn_p}
+        state["output_layer"] = {"0": bn_s}
+        params["semantic_linear"], state["semantic_linear"] = init_mlp(k2, self.channels, 2)
+        params["offset_linear"], state["offset_linear"] = init_mlp(k3, self.channels, 3)
+        return params, state
+
+    # -- forward ------------------------------------------------------------
+
+    def apply(
+        self,
+        params,
+        state,
+        coords: jnp.ndarray,       # (N, 3) float32 metric coords (padded)
+        input_feats: jnp.ndarray,  # (N, F) float32
+        batch_ids: jnp.ndarray,    # (N,) int32
+        valid: jnp.ndarray,        # (N,) bool
+        *,
+        batch_size: int,
+        voxel_capacity: int,
+        training: bool = False,
+        compute_dtype=jnp.float32,
+    ):
+        """Full forward. Returns (output dict, new_state).
+
+        output: semantic_prediction_logits (N, 2), offset_predictions (N, 3),
+        backbone_feats (N, channels) — names parity with reference
+        tree_learn.py:97-103.
+        """
+        spatial_shape = (
+            jnp.asarray(self.spatial_shape, jnp.int32)
+            if self.spatial_shape is not None else None
+        )
+        vb = voxelize_points(
+            coords, input_feats, batch_ids, valid,
+            batch_size=batch_size, voxel_size=self.voxel_size,
+            capacity=voxel_capacity, max_pts=self.max_pts,
+            spatial_shape=spatial_shape,
+            use_coords=self.use_coords, use_feats=self.use_feats,
+        )
+
+        caps = default_capacities(voxel_capacity, self.num_blocks)
+        grid0 = grid_from_sorted_keys(vb.voxel_keys, vb.spatial_shape, vb.n_voxels)
+        plans = build_level_plans(grid0, self.num_blocks, self.kernel_size, caps)
+
+        x = vb.voxel_feats.astype(compute_dtype)
+        new_state = {}
+        frozen = lambda name: name in self.fixed_modules  # noqa: E731
+
+        from ..ops.sparse import subm_conv  # local to avoid cycle at import time
+        x = subm_conv(x, params["input_conv"]["0"]["weight"].astype(compute_dtype),
+                      plans[0].subm_rule, grid0.live_mask)
+
+        x, s = apply_ublock(params["unet"], state["unet"], x, plans, 0,
+                            block_reps=self.block_reps, training=training,
+                            frozen=frozen("unet"))
+        new_state["unet"] = s
+
+        x, s = apply_bn(params["output_layer"]["0"], state["output_layer"]["0"],
+                        x, grid0.live_mask, training=training,
+                        frozen=frozen("output_layer"))
+        new_state["output_layer"] = {"0": s}
+        x = jax.nn.relu(x)
+
+        # voxel -> point gather (reference tree_learn.py:99)
+        backbone_feats = devoxelize(x, vb.v2p_map)
+
+        sem, s = apply_mlp(params["semantic_linear"], state["semantic_linear"],
+                           backbone_feats, valid, training=training,
+                           frozen=frozen("semantic_linear"))
+        new_state["semantic_linear"] = s
+        off, s = apply_mlp(params["offset_linear"], state["offset_linear"],
+                           backbone_feats, valid, training=training,
+                           frozen=frozen("offset_linear"))
+        new_state["offset_linear"] = s
+
+        output = {
+            "semantic_prediction_logits": sem.astype(jnp.float32),
+            "offset_predictions": off.astype(jnp.float32),
+            "backbone_feats": backbone_feats.astype(jnp.float32),
+            "n_voxels": vb.n_voxels,
+        }
+        return output, new_state
+
+    def make_forward(self, *, batch_size: int, voxel_capacity: int,
+                     training: bool = False, compute_dtype=jnp.float32):
+        """A jit-compiled forward closed over static config."""
+
+        @partial(jax.jit, static_argnames=())
+        def fwd(params, state, coords, input_feats, batch_ids, valid):
+            return self.apply(
+                params, state, coords, input_feats, batch_ids, valid,
+                batch_size=batch_size, voxel_capacity=voxel_capacity,
+                training=training, compute_dtype=compute_dtype,
+            )
+
+        return fwd

@@ -1,0 +1,203 @@
+"""Sparse 3D convolution engine: rulebooks + gather-GEMM-scatter ops.
+
+TPU-native replacement for spconv (reference: tree_learn/model/blocks.py and
+spconv's SubMConv3d / SparseConv3d / SparseInverseConv3d).  Design:
+
+* Every U-Net level's active set is a :class:`SparseGrid` — a sorted int32 key
+  table with static capacity (see ops/hashing.py).
+* **Submanifold conv** (SubMConv3d parity): for each of the K = k^3 kernel
+  offsets we precompute a gather index per active voxel by binary-searching the
+  neighbor's key in the level's table; the conv is then K gathers + K GEMMs
+  accumulated — large, static matmuls that XLA tiles onto the MXU.
+* **Strided conv k=2 s=2** (SparseConv3d parity): the output set is the
+  deduplicated set of parents ``coord // 2`` (children whose parent would fall
+  outside ``floor(shape/2)`` are dropped, matching spconv's valid-window rule);
+  each child contributes ``W[corner] @ feat`` scatter-added onto its parent.
+* **Inverse conv** (SparseInverseConv3d parity): reuses the strided rulebook
+  transposed — exactly spconv's ``indice_key`` sharing (blocks.py:110,123):
+  each fine voxel gathers its parent's features through its corner's weight.
+
+Rulebooks are built once per tile and shared across all blocks at a level via
+:class:`LevelPlan`, mirroring spconv's indice-dict caching.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from .hashing import SENTINEL, decode_keys, encode_keys, lookup, sort_unique
+
+
+class SparseGrid(NamedTuple):
+    """Active voxel set of one U-Net level (capacity-padded, sorted keys)."""
+
+    keys: jnp.ndarray           # (V,) sorted int32, SENTINEL padding
+    coords: jnp.ndarray         # (V, 4) int32 (b, x, y, z), -1 padding
+    spatial_shape: jnp.ndarray  # (3,) int32
+    n_active: jnp.ndarray       # () int32
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def live_mask(self) -> jnp.ndarray:
+        return self.keys != SENTINEL
+
+
+def grid_from_coords(coords: jnp.ndarray, spatial_shape, capacity: int) -> Tuple[SparseGrid, jnp.ndarray]:
+    """Build a SparseGrid from possibly-unsorted (N, 4) coords.
+
+    Returns the grid and the (N,) inverse map into it.
+    """
+    spatial_shape = jnp.asarray(spatial_shape, jnp.int32)
+    keys = encode_keys(coords, spatial_shape)
+    unique_keys, inverse, n_active = sort_unique(keys, capacity)
+    grid = SparseGrid(
+        keys=unique_keys,
+        coords=decode_keys(unique_keys, spatial_shape),
+        spatial_shape=spatial_shape,
+        n_active=n_active,
+    )
+    return grid, inverse
+
+
+def grid_from_sorted_keys(keys: jnp.ndarray, spatial_shape, n_active) -> SparseGrid:
+    spatial_shape = jnp.asarray(spatial_shape, jnp.int32)
+    return SparseGrid(
+        keys=keys,
+        coords=decode_keys(keys, spatial_shape),
+        spatial_shape=spatial_shape,
+        n_active=jnp.asarray(n_active, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rulebooks
+# ---------------------------------------------------------------------------
+
+def kernel_offsets(kernel_size: int) -> jnp.ndarray:
+    """(K, 3) int32 offsets, lexicographic (dx slowest) — matches the layout of
+    spconv weights ``(out, kx, ky, kz, in)`` after our importer's transpose."""
+    r = kernel_size // 2
+    ax = jnp.arange(-r, kernel_size - r, dtype=jnp.int32)
+    dx, dy, dz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    return jnp.stack([dx.ravel(), dy.ravel(), dz.ravel()], axis=1)
+
+
+def build_subm_rulebook(grid: SparseGrid, kernel_size: int) -> jnp.ndarray:
+    """Gather table for a submanifold conv: (K, V) int32 into V, -1 = no input.
+
+    out[i] = sum_k W[k] @ feat[rule[k, i]]   (rule[center, i] == i for live rows)
+    """
+    offs = kernel_offsets(kernel_size)  # (K, 3)
+    k = offs.shape[0]
+    coords = grid.coords  # (V, 4)
+    # neighbor coords per offset: note input-gather at out + offset, the
+    # cross-correlation convention of torch/spconv SubMConv3d.
+    nbr = coords[None, :, 1:] + offs[:, None, :]  # (K, V, 3)
+    b = jnp.broadcast_to(coords[None, :, :1], (k, coords.shape[0], 1))
+    nbr_coords = jnp.concatenate([b, nbr], axis=2).reshape(-1, 4)
+    nbr_keys = encode_keys(nbr_coords, grid.spatial_shape)
+    nbr_keys = jnp.where(jnp.repeat(grid.live_mask[None, :], k, 0).reshape(-1), nbr_keys, SENTINEL)
+    rule = lookup(grid.keys, nbr_keys).reshape(k, -1)
+    return rule
+
+
+class DownsampleRulebook(NamedTuple):
+    """Child→parent map for a k=2 s=2 strided conv and its transposed inverse."""
+
+    parent_idx: jnp.ndarray  # (V_in,) int32 into V_out, -1 = dropped child
+    corner: jnp.ndarray      # (V_in,) int32 in [0, 8): child corner within parent
+    out_grid: SparseGrid
+
+
+def build_downsample(grid: SparseGrid, out_capacity: int) -> DownsampleRulebook:
+    """Output set + rulebook of a SparseConv3d(k=2, s=2, pad=0).
+
+    spconv's valid-window rule: output dim = floor((in - 2) / 2) + 1 = in // 2;
+    children with ``coord // 2 >= out_dim`` (the last slice of an odd axis) have
+    no valid window and are dropped.  This is what makes the reference's
+    "reach zero!!!" failure (util/pipeline.py:91-97) structurally impossible
+    here: shapes are static and the drop is just a masked scatter.
+    """
+    out_shape = grid.spatial_shape // 2
+    child = grid.coords  # (V_in, 4)
+    parent_xyz = child[:, 1:] // 2
+    valid = jnp.all(parent_xyz < out_shape[None, :], axis=1) & grid.live_mask
+    parent_coords = jnp.concatenate([child[:, :1], parent_xyz], axis=1)
+    parent_keys = encode_keys(parent_coords, out_shape)
+    parent_keys = jnp.where(valid, parent_keys, SENTINEL)
+
+    unique_keys, parent_idx, n_out = sort_unique(parent_keys, out_capacity)
+    parent_idx = jnp.where(parent_idx < out_capacity, parent_idx, -1)
+
+    corner_xyz = child[:, 1:] - parent_xyz * 2  # each component in {0, 1}
+    corner = (corner_xyz[:, 0] * 2 + corner_xyz[:, 1]) * 2 + corner_xyz[:, 2]
+    corner = jnp.where(parent_idx >= 0, corner, 0)
+
+    out_grid = grid_from_sorted_keys(unique_keys, out_shape, n_out)
+    return DownsampleRulebook(parent_idx=parent_idx, corner=corner, out_grid=out_grid)
+
+
+# ---------------------------------------------------------------------------
+# Convolution ops (XLA path)
+# ---------------------------------------------------------------------------
+
+def subm_conv(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
+              live_mask: jnp.ndarray) -> jnp.ndarray:
+    """Submanifold conv: feats (V, Cin), weight (K, Cin, Cout), rule (K, V).
+
+    Unrolled over the K kernel offsets: each step is a row gather + one large
+    (V, Cin) @ (Cin, Cout) GEMM, which XLA pipelines and tiles onto the MXU.
+    """
+    k = weight.shape[0]
+    v = feats.shape[0]
+    center = k // 2
+    acc = feats @ weight[center]  # rule[center] is the identity on live rows
+    for j in range(k):
+        if j == center:
+            continue
+        idx = rule[j]
+        gathered = feats[jnp.clip(idx, 0, v - 1)]
+        gathered = jnp.where((idx >= 0)[:, None], gathered, 0.0)
+        acc = acc + gathered @ weight[j]
+    return jnp.where(live_mask[:, None], acc, 0.0)
+
+
+def down_conv(feats: jnp.ndarray, weight: jnp.ndarray, rb: DownsampleRulebook) -> jnp.ndarray:
+    """Strided conv k=2 s=2: feats (V_in, Cin), weight (8, Cin, Cout) -> (V_out, Cout).
+
+    One wide GEMM (V_in, Cin) @ (Cin, 8*Cout) followed by a per-row corner select
+    and a segment scatter-add onto parents; trades 8x FLOPs for full MXU tiles,
+    which wins on TPU for the small channel counts here.
+    """
+    cin, cout = weight.shape[1], weight.shape[2]
+    wide = feats @ weight.transpose(1, 0, 2).reshape(cin, 8 * cout)
+    wide = wide.reshape(-1, 8, cout)
+    contrib = jnp.take_along_axis(wide, rb.corner[:, None, None], axis=1)[:, 0, :]
+    out_cap = rb.out_grid.capacity
+    target = jnp.where(rb.parent_idx >= 0, rb.parent_idx, out_cap)
+    out = jnp.zeros((out_cap, cout), feats.dtype).at[target].add(contrib, mode="drop")
+    return out
+
+
+def inverse_conv(coarse_feats: jnp.ndarray, weight: jnp.ndarray,
+                 rb: DownsampleRulebook, fine_live_mask: jnp.ndarray) -> jnp.ndarray:
+    """Inverse conv k=2 (SparseInverseConv3d parity): restores the pre-downsample
+    active set via the transposed rulebook.  coarse (V_out, Cin) -> fine (V_in, Cout).
+
+    Fine voxels that were dropped by the strided conv (no parent) get zeros,
+    matching spconv's behavior for sites outside every kernel window.
+    """
+    cin, cout = weight.shape[1], weight.shape[2]
+    v_out = coarse_feats.shape[0]
+    parent = jnp.clip(rb.parent_idx, 0, v_out - 1)
+    gathered = coarse_feats[parent]
+    gathered = jnp.where((rb.parent_idx >= 0)[:, None], gathered, 0.0)
+    wide = gathered @ weight.transpose(1, 0, 2).reshape(cin, 8 * cout)
+    wide = wide.reshape(-1, 8, cout)
+    out = jnp.take_along_axis(wide, rb.corner[:, None, None], axis=1)[:, 0, :]
+    return jnp.where(fine_live_mask[:, None], out, 0.0)
