@@ -1,0 +1,154 @@
+"""Model forward, BN semantics, and checkpoint import/export."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from treelearn_tpu.model import TreeLearn, export_torch_state_dict, import_torch_state_dict
+from treelearn_tpu.model.checkpoint import (
+    flatten_tree,
+    load_native_checkpoint,
+    save_checkpoint,
+    unflatten_tree,
+)
+from treelearn_tpu.train import point_wise_loss
+
+
+def _small_model(num_blocks=2, channels=4):
+    return TreeLearn(channels=channels, num_blocks=num_blocks, kernel_size=3,
+                     dim_coord=3, dim_feat=1, use_coords=False, use_feats=False,
+                     spatial_shape=[32, 32, 64], voxel_size=0.1)
+
+
+def _batch(n=300, batch_size=2, seed=0):
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(0, 3.0, (n, 3)).astype(np.float32)
+    feats = rng.normal(size=(n, 1)).astype(np.float32)
+    batch_ids = rng.integers(0, batch_size, n).astype(np.int32)
+    valid = np.ones(n, bool)
+    valid[-20:] = False
+    return (jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(batch_ids),
+            jnp.asarray(valid))
+
+
+def test_forward_shapes_and_masking():
+    model = _small_model()
+    params, state = model.init(jax.random.PRNGKey(0))
+    coords, feats, batch_ids, valid = _batch()
+    fwd = model.make_forward(batch_size=2, voxel_capacity=512)
+    out, new_state = fwd(params, state, coords, feats, batch_ids, valid)
+    assert out["semantic_prediction_logits"].shape == (300, 2)
+    assert out["offset_predictions"].shape == (300, 3)
+    assert out["backbone_feats"].shape == (300, 4)
+    assert np.isfinite(np.asarray(out["semantic_prediction_logits"])).all()
+    # eval mode: state unchanged
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(new_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_forward_train_updates_bn_state():
+    model = _small_model()
+    params, state = model.init(jax.random.PRNGKey(0))
+    coords, feats, batch_ids, valid = _batch()
+    out, new_state = model.apply(params, state, coords, feats, batch_ids, valid,
+                                 batch_size=2, voxel_capacity=512, training=True)
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree_util.tree_leaves(state),
+                        jax.tree_util.tree_leaves(new_state))
+    ]
+    assert max(diffs) > 0
+
+
+def test_forward_invariant_to_point_order():
+    """Permuting input points must permute outputs identically (sparse engine
+    must not depend on scan order beyond the documented first-k pooling —
+    with use_coords=use_feats=False pooling is order-free)."""
+    model = _small_model()
+    params, state = model.init(jax.random.PRNGKey(1))
+    coords, feats, batch_ids, valid = _batch(n=200)
+    perm = np.random.default_rng(3).permutation(200)
+    out1, _ = model.apply(params, state, coords, feats, batch_ids, valid,
+                          batch_size=2, voxel_capacity=512)
+    out2, _ = model.apply(params, state, coords[perm], feats[perm],
+                          batch_ids[perm], valid[perm],
+                          batch_size=2, voxel_capacity=512)
+    np.testing.assert_allclose(
+        np.asarray(out1["semantic_prediction_logits"])[perm],
+        np.asarray(out2["semantic_prediction_logits"]), rtol=2e-4, atol=2e-5)
+
+
+def test_native_checkpoint_roundtrip(tmp_path):
+    model = _small_model()
+    params, state = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, params, state, epoch=7)
+    p2, s2, _, epoch = load_native_checkpoint(path)
+    assert epoch == 7
+    for k, v in flatten_tree(params).items():
+        np.testing.assert_array_equal(flatten_tree(p2)[k], np.asarray(v))
+    for k, v in flatten_tree(state).items():
+        np.testing.assert_array_equal(flatten_tree(s2)[k], np.asarray(v))
+
+
+def test_torch_state_dict_roundtrip():
+    """export -> import must be the identity on our trees (validates the
+    spconv weight-layout conversion in both directions)."""
+    model = _small_model(num_blocks=3)
+    params, state = model.init(jax.random.PRNGKey(2))
+    sd = export_torch_state_dict(params, state)
+    # sanity: torch-style shapes
+    w = sd["input_conv.0.weight"]
+    assert w.shape == (4, 3, 3, 3, 4)
+    assert "unet.blocks_tail.block0.i_branch.0.weight" in sd
+    assert sd["unet.blocks_tail.block0.i_branch.0.weight"].shape == (4, 1, 1, 1, 8)
+
+    p0, s0 = model.init(jax.random.PRNGKey(3))  # different values, same shapes
+    sd_in = {k: (v.reshape(v.shape[0], v.shape[-1]) if ".i_branch." in k and v.ndim == 5 else v)
+             for k, v in sd.items()}
+    p2, s2, skipped = import_torch_state_dict(sd_in, p0, s0)
+    assert skipped == []
+    for k, v in flatten_tree(params).items():
+        np.testing.assert_allclose(flatten_tree(p2)[k], np.asarray(v), rtol=1e-6)
+    for k, v in flatten_tree(state).items():
+        np.testing.assert_allclose(flatten_tree(s2)[k], np.asarray(v), rtol=1e-6)
+
+
+def test_torch_pth_import(tmp_path):
+    torch = pytest.importorskip("torch")
+    from treelearn_tpu.model import load_checkpoint
+
+    model = _small_model(num_blocks=2)
+    params, state = model.init(jax.random.PRNGKey(4))
+    sd = export_torch_state_dict(params, state)
+    blob = {"net": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+            "epoch": 12}
+    path = str(tmp_path / "weights.pth")
+    torch.save(blob, path)
+
+    p0, s0 = model.init(jax.random.PRNGKey(5))
+    p2, s2, epoch = load_checkpoint(path, p0, s0)
+    assert epoch == 13
+    for k, v in flatten_tree(params).items():
+        np.testing.assert_allclose(flatten_tree(p2)[k], np.asarray(v), rtol=1e-6)
+
+
+def test_point_wise_loss_masks():
+    logits = jnp.asarray(np.random.randn(50, 2).astype(np.float32))
+    offs = jnp.asarray(np.random.randn(50, 3).astype(np.float32))
+    labels = jnp.asarray(np.random.randint(0, 2, 50))
+    off_labels = jnp.asarray(np.random.randn(50, 3).astype(np.float32))
+    empty = jnp.zeros(50, bool)
+    full = jnp.ones(50, bool)
+
+    sem, off = point_wise_loss(logits, offs, empty, empty, labels, off_labels)
+    assert float(sem) == 0.0 and float(off) == 0.0
+
+    sem, off = point_wise_loss(logits, offs, full, full, labels, off_labels)
+    # numpy oracle
+    p = np.asarray(jax.nn.log_softmax(logits))
+    ce = -p[np.arange(50), np.asarray(labels)]
+    np.testing.assert_allclose(float(sem), ce.mean(), rtol=1e-5)
+    dist = np.linalg.norm(np.asarray(offs) - np.asarray(off_labels), axis=1)
+    np.testing.assert_allclose(float(off), dist.mean(), rtol=1e-4)

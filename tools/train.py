@@ -1,0 +1,153 @@
+"""Training CLI: python tools/train.py --config configs/training/train.yaml
+
+Parity: reference tools/training/train.py — epoch loop with
+examples_per_epoch cap, per-epoch checkpointing, periodic validation
+(semantic accuracy @ 0.5 confidence + offset loss).
+"""
+
+import os.path as osp
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+TREE_CLASS_IN_DATASET = 0
+TREE_CONF_THRESHOLD = 0.5
+
+
+def train_epoch(config, epoch, train_step, params, state, opt_state,
+                train_loader, logger, writer):
+    import jax.numpy as jnp
+
+    start = time.time()
+    losses = defaultdict(list)
+    seen = 0
+    for i, batch in enumerate(train_loader, start=1):
+        if config.examples_per_epoch < i * config.dataloader.train.batch_size:
+            break
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+        params, state, opt_state, loss, loss_dict = train_step(
+            params, state, opt_state, jbatch)
+        for k, v in loss_dict.items():
+            losses[k].append(float(v))
+        seen += batch["batch_size"]
+
+    epoch_time = time.time() - start
+    avg = {k: sum(v) / len(v) for k, v in losses.items()}
+    for k, v in avg.items():
+        writer.add_scalar(f"train/{k}", v, epoch)
+    log = f"[TRAINING] [{epoch}/{config.epochs}], time {epoch_time:.2f}s"
+    for k, v in avg.items():
+        log += f", {k}: {v:.2f}"
+    logger.info(log)
+    return params, state, opt_state
+
+
+def validate(config, epoch, eval_step, params, state, val_loader, logger, writer):
+    import jax.numpy as jnp
+
+    from treelearn_tpu.eval import get_eval_components
+    from treelearn_tpu.train import point_wise_loss
+
+    logits_all, labels_all, off_pred_all, off_lab_all = [], [], [], []
+    for batch in val_loader:
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+        output = eval_step(params, state, jbatch)
+        keep = np.asarray(batch["masks_sem"] & batch["valid"])
+        logits_all.append(np.asarray(output["semantic_prediction_logits"])[keep])
+        labels_all.append(batch["semantic_labels"][keep])
+        off_pred_all.append(np.asarray(output["offset_predictions"])[keep])
+        off_lab_all.append(batch["offset_labels"][keep])
+
+    logits = np.concatenate(logits_all)
+    labels = np.concatenate(labels_all)
+    off_pred = np.concatenate(off_pred_all)
+    off_lab = np.concatenate(off_lab_all)
+
+    masks_off = labels == TREE_CLASS_IN_DATASET
+    _, offset_loss = point_wise_loss(
+        jnp.asarray(logits), jnp.asarray(off_pred),
+        jnp.ones(len(labels), bool), jnp.asarray(masks_off),
+        jnp.asarray(labels), jnp.asarray(off_lab))
+
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    probs = e / e.sum(axis=1, keepdims=True)
+    tree_pred = probs[:, TREE_CLASS_IN_DATASET] >= TREE_CONF_THRESHOLD
+    tree_mask = labels == TREE_CLASS_IN_DATASET
+    tp, fp, tn, fn = get_eval_components(tree_pred, tree_mask)
+    acc = (tp + tn) / max(tp + fp + fn + tn, 1)
+
+    logger.info(f"[VALIDATION] [{epoch}/{config.epochs}] "
+                f"val/semantic_acc {acc*100:.2f}, val/offset_loss {float(offset_loss):.3f}")
+    writer.add_scalar("val/acc", 0.0 if np.isnan(acc) else acc, epoch)
+    writer.add_scalar("val/Offset_MAE", float(offset_loss), epoch)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from treelearn_tpu.config import get_args_and_cfg
+    from treelearn_tpu.data import TreeDataset, build_dataloader
+    from treelearn_tpu.logging_utils import init_train_logger
+    from treelearn_tpu.model import TreeLearn, load_checkpoint
+    from treelearn_tpu.model.checkpoint import checkpoint_save
+    from treelearn_tpu.train.loop import build_optimizer, make_eval_step, make_train_step
+
+    args, config = get_args_and_cfg()
+    logger, writer = init_train_logger(config, args)
+
+    model = TreeLearn(**config.model)
+    params, state = model.init(jax.random.PRNGKey(config.get("seed", 0)))
+
+    steps_per_epoch = max(config.examples_per_epoch
+                          // config.dataloader.train.batch_size, 1)
+    optimizer = build_optimizer(config.optimizer, config.scheduler,
+                                steps_per_epoch, config.get("grad_norm_clip"))
+
+    train_set = TreeDataset(**config.dataset_train, logger=logger)
+    val_set = TreeDataset(**config.dataset_test, logger=logger)
+    train_loader = build_dataloader(train_set, training=True,
+                                    **config.dataloader.train)
+    val_loader = build_dataloader(val_set, training=False,
+                                  **config.dataloader.test)
+
+    start_epoch = 1
+    if args.resume:
+        logger.info(f"Resume from {args.resume}")
+        params, state, start_epoch = load_checkpoint(args.resume, params, state, logger)
+    elif config.get("pretrain"):
+        logger.info(f"Load pretrain from {config.pretrain}")
+        params, state, _ = load_checkpoint(config.pretrain, params, state, logger)
+
+    opt_state = optimizer.init(params)
+    compute_dtype = jnp.bfloat16 if config.get("fp16") else jnp.float32
+    voxel_capacity = int(config.get("voxel_capacity", 1 << 19))
+    train_step = make_train_step(model, optimizer,
+                                 batch_size=config.dataloader.train.batch_size,
+                                 voxel_capacity=voxel_capacity,
+                                 compute_dtype=compute_dtype)
+    eval_step = make_eval_step(model, batch_size=config.dataloader.test.batch_size,
+                               voxel_capacity=voxel_capacity)
+
+    logger.info("Training")
+    for epoch in range(start_epoch, config.epochs + 1):
+        params, state, opt_state = train_epoch(
+            config, epoch, train_step, params, state, opt_state,
+            train_loader, logger, writer)
+        checkpoint_save(epoch, jax.device_get(params), jax.device_get(state),
+                        config.work_dir, save_freq=config.save_frequency)
+        if config.validation_frequency and epoch % config.validation_frequency == 0:
+            logger.info("Validation")
+            validate(config, epoch, eval_step, params, state, val_loader,
+                     logger, writer)
+        writer.flush()
+
+
+if __name__ == "__main__":
+    main()

