@@ -1,0 +1,53 @@
+"""Banded Pallas conv: host-side span logic on CPU; kernel parity on TPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from treelearn_tpu.ops.pallas_conv import _tile_lo, banded_spans_ok
+from treelearn_tpu.ops.sparse import build_subm_rulebook, grid_from_coords, subm_conv
+
+
+def _grid(n=1500, shape=(30, 30, 60), cap=2048, seed=0):
+    rng = np.random.default_rng(seed)
+    coords = set()
+    while len(coords) < n:
+        coords.add((0, rng.integers(0, shape[0]), rng.integers(0, shape[1]),
+                    rng.integers(0, shape[2])))
+    coords = np.array(sorted(coords), np.int32)
+    return grid_from_coords(jnp.asarray(coords), shape, capacity=cap)
+
+
+def test_tile_lo_and_spans():
+    grid, _ = _grid()
+    rule = build_subm_rulebook(grid, 3)
+    lo = np.asarray(_tile_lo(rule, 256, 512, 2048))
+    assert lo.shape == (27, 8)
+    assert (lo % 16 == 0).all()
+    assert (lo >= 0).all() and (lo <= 2048 - 512).all()
+    # sorted-key rulebooks on compact grids are banded
+    assert bool(banded_spans_ok(rule, 256, 512, 2048))
+    # a deliberately scattered rulebook is not
+    bad = jnp.zeros_like(rule).at[:, 0].set(0).at[:, 1].set(2047)
+    assert not bool(banded_spans_ok(bad, 256, 512, 2048))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_banded_conv_matches_xla_on_tpu():
+    from treelearn_tpu.ops.pallas_conv import subm_conv_fast
+
+    rng = np.random.default_rng(1)
+    grid, inv = _grid(seed=1)
+    feats = jnp.zeros((2048, 32), jnp.float32).at[inv].set(
+        jnp.asarray(rng.normal(size=(int(grid.n_active), 32)).astype(np.float32)),
+        mode="drop")
+    rule = build_subm_rulebook(grid, 3)
+    W = jnp.asarray((rng.normal(size=(27, 32, 32)) * 0.1).astype(np.float32))
+
+    ref = subm_conv(feats.astype(jnp.bfloat16), W.astype(jnp.bfloat16), rule,
+                    grid.live_mask)
+    out = subm_conv_fast(feats.astype(jnp.bfloat16), W, rule, grid.live_mask)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=0.05, rtol=0.02)

@@ -29,12 +29,34 @@ import jax.numpy as jnp
 from ..ops.sparse import (
     DownsampleRulebook,
     SparseGrid,
+    build_down_rule,
     build_downsample,
+    build_inverse_rule,
     build_subm_rulebook,
     down_conv,
     inverse_conv,
     subm_conv,
 )
+
+
+def _subm(x, weight, rule, live, fast: bool):
+    """Submanifold conv dispatch: Pallas banded kernel (ops/pallas_conv.py) on
+    TPU, XLA gather path otherwise."""
+    if fast:
+        from ..ops.pallas_conv import subm_conv_fast
+
+        return subm_conv_fast(x, weight, rule, live)
+    return subm_conv(x, weight.astype(x.dtype), rule, live)
+
+
+def _rule_conv(x, weight, rule, live, fast: bool):
+    """Gather-form strided/inverse conv dispatch (K=8 rules)."""
+    if fast:
+        from ..ops.pallas_conv import rule_conv_fast
+
+        return rule_conv_fast(x, weight, rule, live)
+    return subm_conv(x, weight.astype(x.dtype), rule, live,
+                     center_identity=False)
 
 BN_EPS = 1e-4       # reference tree_learn.py:34
 BN_MOMENTUM = 0.1   # reference tree_learn.py:34
@@ -174,15 +196,16 @@ def init_residual_block(key, c_in: int, c_out: int, kernel_size: int):
     return params, state
 
 
-def apply_residual_block(params, state, x, rule, live, *, training: bool, frozen: bool = False):
+def apply_residual_block(params, state, x, rule, live, *, training: bool,
+                         frozen: bool = False, fast: bool = False):
     """Pre-activation residual block (blocks.py:42-79)."""
     cb, cs = params["conv_branch"], state["conv_branch"]
     y, s0 = apply_bn(cb["0"], cs["0"], x, live, training=training, frozen=frozen)
     y = jax.nn.relu(y)
-    y = subm_conv(y, cb["2"]["weight"].astype(x.dtype), rule, live)
+    y = _subm(y, cb["2"]["weight"], rule, live, fast)
     y, s3 = apply_bn(cb["3"], cs["3"], y, live, training=training, frozen=frozen)
     y = jax.nn.relu(y)
-    y = subm_conv(y, cb["5"]["weight"].astype(x.dtype), rule, live)
+    y = _subm(y, cb["5"]["weight"], rule, live, fast)
 
     if "i_branch" in params:
         shortcut = x @ params["i_branch"]["0"]["weight"].T.astype(x.dtype)
@@ -204,6 +227,8 @@ class LevelPlan(NamedTuple):
     grid: SparseGrid
     subm_rule: jnp.ndarray                  # (K, V) gather table
     down: Optional[DownsampleRulebook]      # None at the deepest level
+    down_rule: Optional[jnp.ndarray]        # (8, V_out) gather-form strided rule
+    inv_rule: Optional[jnp.ndarray]         # (8, V_in) gather-form inverse rule
 
 
 def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
@@ -230,12 +255,16 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
         rule = build_subm_rulebook(g, kernel_size, dense_table=table)
         if lvl < num_levels - 1:
             rb = build_downsample(g, int(capacities[lvl + 1]))
-            plans.append(LevelPlan(grid=g, subm_rule=rule, down=rb))
+            plans.append(LevelPlan(
+                grid=g, subm_rule=rule, down=rb,
+                down_rule=build_down_rule(rb, g, child_table=table),
+                inv_rule=build_inverse_rule(rb)))
             g = rb.out_grid
             if shape is not None:
                 shape = tuple(s // 2 for s in shape)
         else:
-            plans.append(LevelPlan(grid=g, subm_rule=rule, down=None))
+            plans.append(LevelPlan(grid=g, subm_rule=rule, down=None,
+                                   down_rule=None, inv_rule=None))
     return tuple(plans)
 
 
@@ -275,7 +304,8 @@ def init_ublock(key, n_planes: Sequence[int], block_reps: int, kernel_size: int)
 
 
 def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
-                 *, block_reps: int, training: bool, frozen: bool = False):
+                 *, block_reps: int, training: bool, frozen: bool = False,
+                 fast: bool = False):
     """Recursive UBlock forward (blocks.py:137-149)."""
     plan = plans[level]
     live = plan.grid.live_mask
@@ -284,7 +314,7 @@ def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
     for i in range(block_reps):
         x, s = apply_residual_block(
             params["blocks"][f"block{i}"], state["blocks"][f"block{i}"],
-            x, plan.subm_rule, live, training=training, frozen=frozen)
+            x, plan.subm_rule, live, training=training, frozen=frozen, fast=fast)
         new_state["blocks"][f"block{i}"] = s
 
     if "u" in params:
@@ -293,10 +323,12 @@ def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
                         training=training, frozen=frozen)
         new_state["conv"] = {"0": s}
         y = jax.nn.relu(y)
-        y = down_conv(y, params["conv"]["2"]["weight"].astype(x.dtype), plan.down)
+        y = _rule_conv(y, params["conv"]["2"]["weight"], plan.down_rule,
+                       plan.down.out_grid.live_mask, fast)
 
         y, s = apply_ublock(params["u"], state["u"], y, plans, level + 1,
-                            block_reps=block_reps, training=training, frozen=frozen)
+                            block_reps=block_reps, training=training,
+                            frozen=frozen, fast=fast)
         new_state["u"] = s
 
         coarse_live = plan.down.out_grid.live_mask
@@ -304,13 +336,15 @@ def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
                         training=training, frozen=frozen)
         new_state["deconv"] = {"0": s}
         y = jax.nn.relu(y)
-        y = inverse_conv(y, params["deconv"]["2"]["weight"].astype(x.dtype), plan.down, live)
+        y = _rule_conv(y, params["deconv"]["2"]["weight"], plan.inv_rule, live,
+                       fast)
 
         x = jnp.concatenate([identity, y], axis=1)
         new_state["blocks_tail"] = {}
         for i in range(block_reps):
             x, s = apply_residual_block(
                 params["blocks_tail"][f"block{i}"], state["blocks_tail"][f"block{i}"],
-                x, plan.subm_rule, live, training=training, frozen=frozen)
+                x, plan.subm_rule, live, training=training, frozen=frozen,
+                fast=fast)
             new_state["blocks_tail"][f"block{i}"] = s
     return x, new_state

@@ -109,6 +109,7 @@ class TreeLearn:
         voxel_capacity: int,
         training: bool = False,
         compute_dtype=jnp.float32,
+        fast_conv: Optional[bool] = None,
     ):
         """Full forward. Returns (output dict, new_state).
 
@@ -134,17 +135,19 @@ class TreeLearn:
                                   static_spatial_shape=self.spatial_shape,
                                   batch_size=batch_size)
 
+        if fast_conv is None:
+            fast_conv = jax.default_backend() == "tpu"
         x = vb.voxel_feats.astype(compute_dtype)
         new_state = {}
         frozen = lambda name: name in self.fixed_modules  # noqa: E731
 
-        from ..ops.sparse import subm_conv  # local to avoid cycle at import time
-        x = subm_conv(x, params["input_conv"]["0"]["weight"].astype(compute_dtype),
-                      plans[0].subm_rule, grid0.live_mask)
+        from .blocks import _subm
+        x = _subm(x, params["input_conv"]["0"]["weight"],
+                  plans[0].subm_rule, grid0.live_mask, fast_conv)
 
         x, s = apply_ublock(params["unet"], state["unet"], x, plans, 0,
                             block_reps=self.block_reps, training=training,
-                            frozen=frozen("unet"))
+                            frozen=frozen("unet"), fast=fast_conv)
         new_state["unet"] = s
 
         x, s = apply_bn(params["output_layer"]["0"], state["output_layer"]["0"],

@@ -1,0 +1,189 @@
+"""Pallas TPU kernels for the sparse convolutions: banded gather-GEMM.
+
+Why: XLA's row gather on TPU runs at a few GB/s (measured 4.5 GB/s for
+(1M, 32)-bf16 rows on v5e), making gathers ~95% of submanifold conv time.
+But our rulebooks have structure XLA cannot see: voxel keys are *sorted*, and
+a fixed kernel offset shifts every key by the same delta, so each rulebook
+column ``rule[k]`` is monotonically non-decreasing over live rows.  Hence for
+an output tile of T consecutive voxels, all its inputs for offset k lie in a
+*contiguous* window of the feature array.
+
+The kernel therefore never gathers from HBM: per (tile, offset) it DMAs the
+contiguous window (full-bandwidth sequential read) into VMEM and selects rows
+with a one-hot matrix multiplied on the MXU:
+
+    G[t, r] = (rule[k, tile_t] - lo == r)          # (T, R) one-hot, built on VPU
+    out_tile += (G @ window) @ W[k]                # two MXU GEMMs
+
+Window residency is double-buffered across offsets.  Entries whose input
+falls outside the window (possible only in pathological density jumps) are
+counted on the host side by :func:`banded_spans_ok`; callers fall back to the
+XLA path via ``lax.cond`` when any would be dropped, so results are always
+exact.  Reference semantics: spconv SubMConv3d (reference blocks.py:57).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE = 256
+DEFAULT_WINDOW = 512
+_ALIGN = 16  # bf16 sublane tile: DMA slice starts must be provably aligned
+
+
+def _tile_lo(rule: jnp.ndarray, tile: int, window: int, v: int) -> jnp.ndarray:
+    """(K, ntiles) int32 window starts: min valid input index per (k, tile),
+    aligned down to the sublane tile so Mosaic can slice at full speed.
+    Layout (K, ntiles) keeps the SMEM prefetch small (last dim is padded)."""
+    k, n = rule.shape
+    ntiles = n // tile
+    r = rule.reshape(k, ntiles, tile)
+    big = jnp.int32(2**30)
+    lo = jnp.min(jnp.where(r >= 0, r, big), axis=2)
+    lo = jnp.where(lo == big, 0, lo)
+    lo = (lo // _ALIGN) * _ALIGN
+    return jnp.clip(lo, 0, max(v - window, 0)).astype(jnp.int32)
+
+
+def banded_spans_ok(rule: jnp.ndarray, tile: int, window: int, v: int):
+    """() bool — True iff every valid rulebook entry falls inside its tile's
+    window (i.e. the fast Pallas path is exact for this rulebook)."""
+    k, n = rule.shape
+    ntiles = n // tile
+    lo = _tile_lo(rule, tile, window, v)  # (K, ntiles)
+    r = rule.reshape(k, ntiles, tile)
+    rel = r - lo[:, :, None]
+    bad = (r >= 0) & ((rel < 0) | (rel >= window))
+    return ~jnp.any(bad)
+
+
+def _subm_kernel(lo_ref, rule_ref, feats_hbm, w_ref, out_ref,
+                 window_buf, acc_ref, sems, *, n_offsets, window, tile,
+                 out_dtype):
+    t = pl.program_id(0)
+
+    def dma(k_idx, slot):
+        start = pl.multiple_of(lo_ref[k_idx, t], _ALIGN)
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start, window), :],
+            window_buf.at[slot],
+            sems.at[slot],
+        )
+
+    dma(0, 0).start()
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+
+    for k in range(n_offsets):
+        slot = k % 2
+        if k + 1 < n_offsets:
+            dma(k + 1, (k + 1) % 2).start()
+        dma(k, slot).wait()
+
+        rule_k = rule_ref[k, :]                          # (T,)
+        rel = rule_k - lo_ref[k, t]
+        valid = (rule_k >= 0) & (rel >= 0) & (rel < window)
+        rel = jnp.where(valid, rel, -1)
+        one_hot = (rel[:, None] == col_ids).astype(jnp.bfloat16)  # (T, R)
+
+        h = jnp.dot(one_hot, window_buf[slot],
+                    preferred_element_type=jnp.float32)   # (T, C) selected rows
+        acc_ref[:] += jnp.dot(h.astype(jnp.bfloat16), w_ref[k],
+                              preferred_element_type=jnp.float32)
+
+    out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "window"))
+def subm_conv_banded(feats: jnp.ndarray, weight: jnp.ndarray,
+                     rule: jnp.ndarray, live_mask: jnp.ndarray,
+                     tile: int = DEFAULT_TILE,
+                     window: int = DEFAULT_WINDOW) -> jnp.ndarray:
+    """Banded-window Pallas submanifold conv (unchecked fast path).
+
+    feats (V, Cin) any float dtype; weight (K, Cin, Cout); rule (K, V).
+    V must be a multiple of ``tile`` and >= ``window``.
+    """
+    v, cin = feats.shape          # input rows (gather source)
+    v_out = rule.shape[1]         # output rows
+    k, _, cout = weight.shape
+    assert v_out % tile == 0 and v >= window, (v, v_out, tile, window)
+    ntiles = v_out // tile
+
+    lo = _tile_lo(rule, tile, window, v)
+    # Mosaic requires DMA slices lane-aligned to 128: pad channels (weights are
+    # zero-padded so no in-kernel slicing is needed; the extra MXU columns are
+    # free relative to the DMA win).
+    cpad = ((cin + 127) // 128) * 128
+    feats_b = feats.astype(jnp.bfloat16)
+    if cpad != cin:
+        feats_b = jnp.pad(feats_b, ((0, 0), (0, cpad - cin)))
+    weight_b = weight.astype(jnp.bfloat16)
+    if cpad != cin:
+        weight_b = jnp.pad(weight_b, ((0, 0), (0, cpad - cin), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((k, tile), lambda t, lo: (0, t)),       # rule tile
+            pl.BlockSpec(memory_space=pltpu.HBM),                # feats stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # weights
+        ],
+        out_specs=pl.BlockSpec((tile, cout), lambda t, lo: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, cpad), jnp.bfloat16),
+            pltpu.VMEM((tile, cout), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_subm_kernel, n_offsets=k, window=window, tile=tile,
+                          out_dtype=feats.dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((v_out, cout), feats.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(lo, rule, feats_b, weight_b)
+    return jnp.where(live_mask[:, None], out, 0)
+
+
+def rule_conv_fast(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
+                   live_mask: jnp.ndarray, tile: int = DEFAULT_TILE,
+                   window: int = DEFAULT_WINDOW,
+                   center_identity: bool = False) -> jnp.ndarray:
+    """Exact rulebook conv for any (K, V_out) rule — submanifold (K=27),
+    gather-form strided (K=8), or inverse (K=8): Pallas banded path when every
+    rulebook entry is in-window (the overwhelmingly common case on sorted
+    voxel data), XLA gather path otherwise — selected at runtime by
+    ``lax.cond``."""
+    from .sparse import subm_conv
+
+    v = feats.shape[0]
+    v_out = rule.shape[1]
+    if v_out % tile != 0 or v < window:
+        return subm_conv(feats, weight, rule, live_mask,
+                         center_identity=center_identity)
+
+    ok = banded_spans_ok(rule, tile, window, v)
+    return jax.lax.cond(
+        ok,
+        lambda f: subm_conv_banded(f, weight, rule, live_mask, tile, window),
+        lambda f: subm_conv(f, weight.astype(f.dtype), rule, live_mask,
+                            center_identity=center_identity),
+        feats,
+    )
+
+
+def subm_conv_fast(feats, weight, rule, live_mask, tile: int = DEFAULT_TILE,
+                   window: int = DEFAULT_WINDOW):
+    """Submanifold conv dispatch (center column of the rule is the identity)."""
+    return rule_conv_fast(feats, weight, rule, live_mask, tile, window,
+                          center_identity=True)

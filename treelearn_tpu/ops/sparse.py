@@ -173,28 +173,71 @@ def build_downsample(grid: SparseGrid, out_capacity: int) -> DownsampleRulebook:
     return DownsampleRulebook(parent_idx=parent_idx, corner=corner, out_grid=out_grid)
 
 
+def build_down_rule(rb: DownsampleRulebook, child_grid: SparseGrid,
+                    child_table: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Gather-form rule of the strided conv: (8, V_out) int32 into V_in.
+
+    rule[k][p] = index of the child voxel at ``2 * parent + corner_k`` (or -1).
+    Equivalent to the scatter form in :func:`down_conv` but expressed as a
+    gather so the banded Pallas kernel applies: for a fixed corner parity the
+    child of a lexicographically sorted parent sequence is itself sorted.
+    """
+    out = rb.out_grid
+    rules = []
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                child_xyz = out.coords[:, 1:] * 2 + jnp.array([cx, cy, cz], jnp.int32)
+                child_coords = jnp.concatenate([out.coords[:, :1], child_xyz], axis=1)
+                keys = encode_keys(child_coords, child_grid.spatial_shape)
+                keys = jnp.where(out.live_mask, keys, SENTINEL)
+                if child_table is not None:
+                    rules.append(jnp.take(child_table, keys, mode="fill",
+                                          fill_value=-1))
+                else:
+                    rules.append(lookup(child_grid.keys, keys))
+    return jnp.stack(rules, axis=0)
+
+
+def build_inverse_rule(rb: DownsampleRulebook) -> jnp.ndarray:
+    """Gather-form rule of the inverse conv: (8, V_in) int32 into V_out.
+
+    rule[k][c] = parent index when child c's corner is k, else -1.  Valid
+    entries per corner are monotone (fixed-parity subsequence), so the banded
+    kernel applies.
+    """
+    k_ids = jnp.arange(8, dtype=jnp.int32)[:, None]
+    valid = (rb.parent_idx[None, :] >= 0) & (rb.corner[None, :] == k_ids)
+    return jnp.where(valid, rb.parent_idx[None, :], -1)
+
+
 # ---------------------------------------------------------------------------
 # Convolution ops (XLA path)
 # ---------------------------------------------------------------------------
 
 def subm_conv(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
-              live_mask: jnp.ndarray) -> jnp.ndarray:
-    """Submanifold conv: feats (V, Cin), weight (K, Cin, Cout), rule (K, V).
+              live_mask: jnp.ndarray, center_identity: bool = True) -> jnp.ndarray:
+    """Rulebook conv (XLA path): feats (V, Cin), weight (K, Cin, Cout),
+    rule (K, V_out) -> (V_out, Cout).
 
     Unrolled over the K kernel offsets: each step is a row gather + one large
-    (V, Cin) @ (Cin, Cout) GEMM, which XLA pipelines and tiles onto the MXU.
+    GEMM, which XLA pipelines and tiles onto the MXU.  ``center_identity``
+    marks submanifold rules whose center column is the identity (skips one
+    gather); gather-form down/inverse rules pass False.
     """
     k = weight.shape[0]
     v = feats.shape[0]
-    center = k // 2
-    acc = feats @ weight[center]  # rule[center] is the identity on live rows
+    center = k // 2 if center_identity else -1
+    acc = None
     for j in range(k):
         if j == center:
-            continue
-        idx = rule[j]
-        gathered = feats[jnp.clip(idx, 0, v - 1)]
-        gathered = jnp.where((idx >= 0)[:, None], gathered, 0.0)
-        acc = acc + gathered @ weight[j]
+            contrib = feats @ weight[center]
+        else:
+            idx = rule[j]
+            gathered = feats[jnp.clip(idx, 0, v - 1)]
+            gathered = jnp.where((idx >= 0)[:, None], gathered, 0.0)
+            contrib = gathered @ weight[j]
+        acc = contrib if acc is None else acc + contrib
     return jnp.where(live_mask[:, None], acc, 0.0)
 
 
