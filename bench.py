@@ -21,6 +21,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import numpy as np
 
@@ -42,8 +44,9 @@ def main():
     n_trees = int(os.environ.get("BENCH_TREES", 120))
     points_per_tree = int(os.environ.get("BENCH_PPT", 20000))
     ground = int(os.environ.get("BENCH_GROUND", 600000))
+    extent = float(os.environ.get("BENCH_EXTENT", 60.0))
     data, _ = make_synthetic_forest(
-        n_trees=n_trees, extent=90.0, points_per_tree=points_per_tree,
+        n_trees=n_trees, extent=extent, points_per_tree=points_per_tree,
         ground_points=ground, seed=0)
     n_points = len(data)
     forest_path = os.path.join(forest_dir, "bench_forest.npz")

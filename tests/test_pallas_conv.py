@@ -51,3 +51,28 @@ def test_banded_conv_matches_xla_on_tpu():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=0.05, rtol=0.02)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_custom_vjp_matches_xla_autodiff_on_tpu():
+    from treelearn_tpu.ops.pallas_conv import rule_conv_ad
+
+    rng = np.random.default_rng(3)
+    grid, inv = _grid(seed=3)
+    rule = build_subm_rulebook(grid, 3)
+    x = jnp.where(grid.live_mask[:, None],
+                  jnp.asarray(rng.normal(size=(2048, 32)).astype(np.float32)), 0.0)
+    W = jnp.asarray((rng.normal(size=(27, 32, 32)) * 0.1).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(2048, 32)).astype(np.float32))
+
+    def loss_ad(x, W):
+        return jnp.sum(rule_conv_ad(x, W, rule, rule, grid.live_mask,
+                                    grid.live_mask, True, True, None) * cot)
+
+    def loss_xla(x, W):
+        return jnp.sum(subm_conv(x, W, rule, grid.live_mask) * cot)
+
+    dx1, dw1 = jax.grad(loss_ad, argnums=(0, 1))(x, W)
+    dx2, dw2 = jax.grad(loss_xla, argnums=(0, 1))(x, W)
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2), atol=1e-2, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2), atol=1e-2, rtol=1e-2)

@@ -40,22 +40,27 @@ from ..ops.sparse import (
 
 
 def _subm(x, weight, rule, live, fast: bool):
-    """Submanifold conv dispatch: Pallas banded kernel (ops/pallas_conv.py) on
-    TPU, XLA gather path otherwise."""
+    """Submanifold conv dispatch: differentiable Pallas banded kernel
+    (ops/pallas_conv.py) on TPU, XLA gather path otherwise.  A submanifold
+    rule is its own transpose under kernel-offset mirroring."""
     if fast:
-        from ..ops.pallas_conv import subm_conv_fast
+        from ..ops.pallas_conv import rule_conv_ad
 
-        return subm_conv_fast(x, weight, rule, live)
+        return rule_conv_ad(x, weight, rule, rule, live, live,
+                            True, True, None)
     return subm_conv(x, weight.astype(x.dtype), rule, live)
 
 
-def _rule_conv(x, weight, rule, live, fast: bool):
-    """Gather-form strided/inverse conv dispatch (K=8 rules)."""
+def _rule_conv(x, weight, rule, rule_t, live_out, live_in, fast: bool):
+    """Gather-form strided/inverse conv dispatch (K=8 rules).  ``rule_t`` is
+    the transposed rule of the pair (inverse rule for the strided conv and
+    vice versa), used by the custom VJP."""
     if fast:
-        from ..ops.pallas_conv import rule_conv_fast
+        from ..ops.pallas_conv import rule_conv_ad
 
-        return rule_conv_fast(x, weight, rule, live)
-    return subm_conv(x, weight.astype(x.dtype), rule, live,
+        return rule_conv_ad(x, weight, rule, rule_t, live_out, live_in,
+                            False, False, None)
+    return subm_conv(x, weight.astype(x.dtype), rule, live_out,
                      center_identity=False)
 
 BN_EPS = 1e-4       # reference tree_learn.py:34
@@ -324,7 +329,7 @@ def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
         new_state["conv"] = {"0": s}
         y = jax.nn.relu(y)
         y = _rule_conv(y, params["conv"]["2"]["weight"], plan.down_rule,
-                       plan.down.out_grid.live_mask, fast)
+                       plan.inv_rule, plan.down.out_grid.live_mask, live, fast)
 
         y, s = apply_ublock(params["u"], state["u"], y, plans, level + 1,
                             block_reps=block_reps, training=training,
@@ -336,8 +341,8 @@ def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
                         training=training, frozen=frozen)
         new_state["deconv"] = {"0": s}
         y = jax.nn.relu(y)
-        y = _rule_conv(y, params["deconv"]["2"]["weight"], plan.inv_rule, live,
-                       fast)
+        y = _rule_conv(y, params["deconv"]["2"]["weight"], plan.inv_rule,
+                       plan.down_rule, live, plan.down.out_grid.live_mask, fast)
 
         x = jnp.concatenate([identity, y], axis=1)
         new_state["blocks_tail"] = {}

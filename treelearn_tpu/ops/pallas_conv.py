@@ -25,6 +25,7 @@ exact.  Reference semantics: spconv SubMConv3d (reference blocks.py:57).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 256
 DEFAULT_WINDOW = 512
 _ALIGN = 16  # bf16 sublane tile: DMA slice starts must be provably aligned
+
+# interpreter mode for CPU-side testing of the kernels
+_INTERPRET = os.environ.get("TL_PALLAS_INTERPRET", "0") == "1"
 
 
 def _tile_lo(rule: jnp.ndarray, tile: int, window: int, v: int) -> jnp.ndarray:
@@ -62,42 +66,46 @@ def banded_spans_ok(rule: jnp.ndarray, tile: int, window: int, v: int):
     return ~jnp.any(bad)
 
 
-def _subm_kernel(lo_ref, rule_ref, feats_hbm, w_ref, out_ref,
+def _subm_kernel(lo_ref, n_live_ref, rule_ref, feats_hbm, w_ref, out_ref,
                  window_buf, acc_ref, sems, *, n_offsets, window, tile,
                  out_dtype):
     t = pl.program_id(0)
+    out_ref[:] = jnp.zeros_like(out_ref)
 
-    def dma(k_idx, slot):
-        start = pl.multiple_of(lo_ref[k_idx, t], _ALIGN)
-        return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(start, window), :],
-            window_buf.at[slot],
-            sems.at[slot],
-        )
+    # capacity padding: tiles entirely past the live rows do no work
+    @pl.when(t * tile < n_live_ref[0])
+    def _():
+        def dma(k_idx, slot):
+            start = pl.multiple_of(lo_ref[k_idx, t], _ALIGN)
+            return pltpu.make_async_copy(
+                feats_hbm.at[pl.ds(start, window), :],
+                window_buf.at[slot],
+                sems.at[slot],
+            )
 
-    dma(0, 0).start()
-    acc_ref[:] = jnp.zeros_like(acc_ref)
+        dma(0, 0).start()
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
 
-    for k in range(n_offsets):
-        slot = k % 2
-        if k + 1 < n_offsets:
-            dma(k + 1, (k + 1) % 2).start()
-        dma(k, slot).wait()
+        for k in range(n_offsets):
+            slot = k % 2
+            if k + 1 < n_offsets:
+                dma(k + 1, (k + 1) % 2).start()
+            dma(k, slot).wait()
 
-        rule_k = rule_ref[k, :]                          # (T,)
-        rel = rule_k - lo_ref[k, t]
-        valid = (rule_k >= 0) & (rel >= 0) & (rel < window)
-        rel = jnp.where(valid, rel, -1)
-        one_hot = (rel[:, None] == col_ids).astype(jnp.bfloat16)  # (T, R)
+            rule_k = rule_ref[k, :]                          # (T,)
+            rel = rule_k - lo_ref[k, t]
+            valid = (rule_k >= 0) & (rel >= 0) & (rel < window)
+            rel = jnp.where(valid, rel, -1)
+            one_hot = (rel[:, None] == col_ids).astype(jnp.bfloat16)  # (T, R)
 
-        h = jnp.dot(one_hot, window_buf[slot],
-                    preferred_element_type=jnp.float32)   # (T, C) selected rows
-        acc_ref[:] += jnp.dot(h.astype(jnp.bfloat16), w_ref[k],
-                              preferred_element_type=jnp.float32)
+            h = jnp.dot(one_hot, window_buf[slot],
+                        preferred_element_type=jnp.float32)  # selected rows
+            acc_ref[:] += jnp.dot(h.astype(jnp.bfloat16), w_ref[k],
+                                  preferred_element_type=jnp.float32)
 
-    out_ref[:] = acc_ref[:].astype(out_dtype)
+        out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window"))
@@ -128,15 +136,17 @@ def subm_conv_banded(feats: jnp.ndarray, weight: jnp.ndarray,
     if cpad != cin:
         weight_b = jnp.pad(weight_b, ((0, 0), (0, cpad - cin), (0, 0)))
 
+    n_live = jnp.sum(live_mask).astype(jnp.int32).reshape(1)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((k, tile), lambda t, lo: (0, t)),       # rule tile
+            pl.BlockSpec((k, tile), lambda t, lo, nl: (0, t)),   # rule tile
             pl.BlockSpec(memory_space=pltpu.HBM),                # feats stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),               # weights
         ],
-        out_specs=pl.BlockSpec((tile, cout), lambda t, lo: (t, 0)),
+        out_specs=pl.BlockSpec((tile, cout), lambda t, lo, nl: (t, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, window, cpad), jnp.bfloat16),
             pltpu.VMEM((tile, cout), jnp.float32),
@@ -151,8 +161,104 @@ def subm_conv_banded(feats: jnp.ndarray, weight: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(lo, rule, feats_b, weight_b)
+        interpret=_INTERPRET,
+    )(lo, n_live, rule, feats_b, weight_b)
     return jnp.where(live_mask[:, None], out, 0)
+
+
+# ---------------------------------------------------------------------------
+# Weight-gradient kernel: dW[k] = sum_i x[rule[k, i]] g[i]^T
+# ---------------------------------------------------------------------------
+
+def _dw_kernel(lo_ref, n_live_ref, rule_ref, g_ref, x_hbm, out_ref,
+               window_buf, sems, *, n_offsets, window, tile):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(t * tile < n_live_ref[0])
+    def _():
+        def dma(k_idx, slot):
+            start = pl.multiple_of(lo_ref[k_idx, t], _ALIGN)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(start, window), :],
+                window_buf.at[slot],
+                sems.at[slot],
+            )
+
+        dma(0, 0).start()
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+        g_tile = g_ref[:]  # (T, Cout) bf16
+
+        for k in range(n_offsets):
+            slot = k % 2
+            if k + 1 < n_offsets:
+                dma(k + 1, (k + 1) % 2).start()
+            dma(k, slot).wait()
+
+            rule_k = rule_ref[k, :]
+            rel = rule_k - lo_ref[k, t]
+            valid = (rule_k >= 0) & (rel >= 0) & (rel < window)
+            rel = jnp.where(valid, rel, -1)
+            one_hot = (rel[:, None] == col_ids).astype(jnp.bfloat16)
+
+            gathered = jnp.dot(one_hot, window_buf[slot],
+                               preferred_element_type=jnp.float32)  # (T, Cpad)
+            out_ref[k] += jnp.dot(gathered.astype(jnp.bfloat16).T, g_tile,
+                                  preferred_element_type=jnp.float32)
+
+    _ = n_offsets  # keep signature symmetric
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "window"))
+def rule_conv_dw_banded(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
+                        live_mask: jnp.ndarray, tile: int = DEFAULT_TILE,
+                        window: int = DEFAULT_WINDOW) -> jnp.ndarray:
+    """Weight gradient of a rulebook conv: (K, Cin, Cout) f32.
+
+    x (V_in, Cin) inputs, g (V_out, Cout) output cotangents (must already be
+    zero on dead rows).  Same banded windows as the forward; each tile adds a
+    (Cin, Cout) outer-product GEMM into a VMEM-resident accumulator.
+    """
+    v, cin = x.shape
+    v_out, cout = g.shape
+    k = rule.shape[0]
+    assert v_out % tile == 0 and v >= window
+
+    lo = _tile_lo(rule, tile, window, v)
+    cpad = ((cin + 127) // 128) * 128
+    x_b = x.astype(jnp.bfloat16)
+    if cpad != cin:
+        x_b = jnp.pad(x_b, ((0, 0), (0, cpad - cin)))
+    g_b = jnp.where(live_mask[:, None], g, 0).astype(jnp.bfloat16)
+    n_live = jnp.sum(live_mask).astype(jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(v_out // tile,),
+        in_specs=[
+            pl.BlockSpec((k, tile), lambda t, lo, nl: (0, t)),   # rule tile
+            pl.BlockSpec((tile, cout), lambda t, lo, nl: (t, 0)),  # g tile
+            pl.BlockSpec(memory_space=pltpu.HBM),                # x windows
+        ],
+        out_specs=pl.BlockSpec((k, cpad, cout), lambda t, lo, nl: (0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, cpad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dw = pl.pallas_call(
+        functools.partial(_dw_kernel, n_offsets=k, window=window, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, cpad, cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_INTERPRET,
+    )(lo, n_live, rule, g_b, x_b)
+    return dw[:, :cin, :]
 
 
 def rule_conv_fast(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
@@ -187,3 +293,71 @@ def subm_conv_fast(feats, weight, rule, live_mask, tile: int = DEFAULT_TILE,
     """Submanifold conv dispatch (center column of the rule is the identity)."""
     return rule_conv_fast(feats, weight, rule, live_mask, tile, window,
                           center_identity=True)
+
+
+def rule_conv_dw_xla(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
+                     live_mask: jnp.ndarray) -> jnp.ndarray:
+    """XLA fallback weight gradient (gather-based)."""
+    v = x.shape[0]
+    g = jnp.where(live_mask[:, None], g, 0).astype(jnp.float32)
+    dws = []
+    for k in range(rule.shape[0]):
+        idx = rule[k]
+        gathered = x[jnp.clip(idx, 0, v - 1)].astype(jnp.float32)
+        gathered = jnp.where((idx >= 0)[:, None], gathered, 0.0)
+        dws.append(gathered.T @ g)
+    return jnp.stack(dws, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable rulebook conv (custom VJP)
+# ---------------------------------------------------------------------------
+#
+# pallas_call has no automatic VJP, but rulebook convs transpose beautifully:
+# the relation rule[k][i] = j is inverted by the *paired* rule (the mirrored
+# offset for submanifold convs; the down/inverse rules of the same level for
+# the strided pair), so dx is the same banded kernel with transposed weights,
+# and dW is one extra banded pass accumulating per-tile outer products.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def rule_conv_ad(feats, weight, rule, rule_t, live_out, live_in,
+                 mirror: bool, center_identity: bool, tile_window=None):
+    tile, window = tile_window or (DEFAULT_TILE, DEFAULT_WINDOW)
+    return rule_conv_fast(feats, weight, rule, live_out, tile, window,
+                          center_identity=center_identity)
+
+
+def _rule_conv_ad_fwd(feats, weight, rule, rule_t, live_out, live_in,
+                      mirror, center_identity, tile_window):
+    out = rule_conv_ad(feats, weight, rule, rule_t, live_out, live_in,
+                       mirror, center_identity, tile_window)
+    return out, (feats, weight, rule, rule_t, live_out, live_in)
+
+
+def _rule_conv_ad_bwd(mirror, center_identity, tile_window, res, g):
+    tile, window = tile_window or (DEFAULT_TILE, DEFAULT_WINDOW)
+    feats, weight, rule, rule_t, live_out, live_in = res
+    g = jnp.where(live_out[:, None], g, 0)
+
+    wt = weight[::-1] if mirror else weight
+    wt = wt.transpose(0, 2, 1)
+    dx = rule_conv_fast(g, wt, rule_t, live_in, tile, window,
+                        center_identity=center_identity)
+    dx = dx.astype(feats.dtype)
+
+    v = feats.shape[0]
+    v_out = rule.shape[1]
+    if v_out % tile == 0 and v >= window:
+        ok = banded_spans_ok(rule, tile, window, v)
+        dw = jax.lax.cond(
+            ok,
+            lambda a: rule_conv_dw_banded(a[0], a[1], rule, live_out, tile, window),
+            lambda a: rule_conv_dw_xla(a[0], a[1], rule, live_out),
+            (feats, g),
+        )
+    else:
+        dw = rule_conv_dw_xla(feats, g, rule, live_out)
+    return dx, dw.astype(weight.dtype), None, None, None, None
+
+
+rule_conv_ad.defvjp(_rule_conv_ad_fwd, _rule_conv_ad_bwd)

@@ -102,9 +102,17 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
     np.savez_compressed(centered_path, points=(xyz - xyz_mean).astype(np.float32))
     config.forest_path = centered_path
 
-    # tiles
+    # tiles: streaming mode (default) slices tiles in memory from the sorted
+    # voxelized plot; npz mode writes them to disk like the reference
+    streaming = bool(config.get("streaming", True))
     config.dataset_test.data_root = osp.join(tiles_dir, "npz")
-    if config.tile_generation:
+    if streaming:
+        from .tiles import prepare_voxelized_features
+
+        vox_path, feat_path = prepare_voxelized_features(
+            config.sample_generation, config.forest_path, logger,
+            config.save_cfg.return_type)
+    elif config.tile_generation:
         logger.info("#################### generating tiles ####################")
         generate_tiles(config.sample_generation, config.forest_path, logger,
                        config.save_cfg.return_type)
@@ -119,9 +127,25 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
         params, state = model.init(jax.random.PRNGKey(0))
         if config.get("pretrain"):
             params, state, _ = load_checkpoint(config.pretrain, params, state, logger)
-    dataset = TreeDataset(**config.dataset_test, logger=logger)
-    loader = TreeLoader(dataset, batch_size=config.dataloader.batch_size,
-                        training=False)
+    if streaming:
+        from .streaming import TileStream
+
+        vox = np.load(vox_path)
+        feats_arr = np.load(feat_path)["features"]
+        stream = TileStream(
+            vox["points"].astype(np.float64), vox["labels"],
+            feats_arr, config.sample_generation.inner_edge,
+            config.sample_generation.outer_edge, config.sample_generation.stride)
+        # one shape bucket = one XLA compilation; dead-tile skipping in the
+        # banded kernel makes the padding nearly free
+        loader = stream.batches(
+            batch_size=config.dataloader.batch_size,
+            inner_square_edge_length=config.dataset_test.inner_square_edge_length,
+            min_bucket=int(config.get("voxel_capacity", 1 << 20)))
+    else:
+        dataset = TreeDataset(**config.dataset_test, logger=logger)
+        loader = TreeLoader(dataset, batch_size=config.dataloader.batch_size,
+                            training=False)
     compute_dtype = jnp.bfloat16 if config.get("fp16") else jnp.float32
     voxel_capacity = int(config.get("voxel_capacity", 1 << 20))
     pointwise = get_pointwise_preds(model, params, state, loader,

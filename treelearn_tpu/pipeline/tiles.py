@@ -277,19 +277,20 @@ class SampleGenerator:
         return count
 
 
-def generate_tiles(cfg, forest_path: str, logger, return_type: str = "voxelized",
-                   features_fn=None):
-    """Voxelize plot (cached), compute verticality features (cached), cut tiles
-    (parity: reference util/pipeline.py:24-75).  The voxel->original trace is
+def prepare_voxelized_features(cfg, forest_path: str, logger,
+                               return_type: str = "voxelized",
+                               features_fn=None):
+    """Voxelize the plot (cached) and compute verticality features (cached).
+
+    Returns (voxelized_path, features_path).  The voxel->original trace is
     stored as a plain int64 inverse-index npz instead of the reference's
-    python hash dict pickle."""
+    python hash dict pickle (util/pipeline.py:48-57)."""
     plot_name = os.path.basename(forest_path)[:-4]
     base_dir = os.path.dirname(os.path.dirname(forest_path))
 
     voxelized_dir = osp.join(base_dir, f"forest_voxelized{cfg.voxel_size}")
     features_dir = osp.join(base_dir, "features")
-    save_dir = osp.join(base_dir, "tiles")
-    for d in (voxelized_dir, features_dir, save_dir):
+    for d in (voxelized_dir, features_dir):
         os.makedirs(d, exist_ok=True)
 
     logger.info("voxelizing forest...")
@@ -316,6 +317,20 @@ def generate_tiles(cfg, forest_path: str, logger, return_type: str = "voxelized"
         features = fn(data[:, :3].astype(np.float32),
                       search_radius=cfg.search_radius_features)
         np.savez_compressed(save_path_features, features=features)
+    return save_path_vox, save_path_features
+
+
+def generate_tiles(cfg, forest_path: str, logger, return_type: str = "voxelized",
+                   features_fn=None):
+    """Voxelize plot (cached), compute features (cached), cut tiles to npz
+    (parity: reference util/pipeline.py:24-75)."""
+    plot_name = os.path.basename(forest_path)[:-4]
+    base_dir = os.path.dirname(os.path.dirname(forest_path))
+    save_dir = osp.join(base_dir, "tiles")
+    os.makedirs(save_dir, exist_ok=True)
+
+    save_path_vox, save_path_features = prepare_voxelized_features(
+        cfg, forest_path, logger, return_type, features_fn)
 
     logger.info("getting tiles...")
     gen = SampleGenerator(
