@@ -1,17 +1,17 @@
-"""Minimal pure-numpy LAS reader/writer.
+"""LAS/LAZ reader/writer (numpy container parsing + native LASzip codec).
 
 The reference delegates LAS/LAZ I/O to laspy(+lazrs) (reference:
 tree_learn/util/data_preparation.py:28-33, tree_learn/util/pipeline.py:349-384).
-laspy is not available in this environment, so we ship a small native codec:
+Neither is available in this environment, so we ship our own:
 
 * Reader: LAS 1.0-1.4, all core point formats (0-10); decodes X/Y/Z with
   scale+offset, `classification`, and named extra-bytes dimensions (e.g.
-  ``treeID``) declared through an Extra Bytes VLR.
+  ``treeID``) declared through an Extra Bytes VLR.  Compressed (.laz, LASzip
+  2.x chunked) point data is decoded by the native codec in native/laszip via
+  io/laz.py.
 * Writer: LAS 1.2, point format 3 (xyz + RGB) with a ``treeID`` uint32 extra
-  dimension — the exact layout the reference writes.
-
-LAZ (compressed) is not supported natively; if ``laspy`` with a LAZ backend is
-importable we transparently fall back to it for ``.laz`` files.
+  dimension — the exact layout the reference writes; ``compress=True`` (or a
+  ``.laz`` path) writes real LASzip-compressed points.
 """
 
 from __future__ import annotations
@@ -85,10 +85,8 @@ def _parse_extra_bytes_vlr(payload: bytes):
 
 
 def read_las(path: str) -> LasData:
-    """Read a .las file (or .laz via laspy if available)."""
-    if str(path).lower().endswith(".laz"):
-        return _read_with_laspy(path)
-
+    """Read a .las or .laz file (LAZ through the native LASzip codec in
+    native/laszip, see io/laz.py)."""
     with open(path, "rb") as f:
         raw = f.read()
 
@@ -114,8 +112,9 @@ def read_las(path: str) -> LasData:
         raise ValueError(f"unsupported LAS point format {point_format}")
     base_len, gps_off, rgb_off = _POINT_FORMATS[point_format]
 
-    # walk VLRs for extra-bytes descriptors
+    # walk VLRs for extra-bytes descriptors and the LASzip record
     extra_dims = []
+    laszip_payload = None
     pos = header_size
     for _ in range(n_vlrs):
         user_id = raw[pos + 2:pos + 18].split(b"\x00", 1)[0]
@@ -124,10 +123,23 @@ def read_las(path: str) -> LasData:
         payload = raw[pos + 54:pos + 54 + rec_len]
         if user_id == b"LASF_Spec" and record_id == 4:
             extra_dims = _parse_extra_bytes_vlr(payload)
+        elif record_id == 22204 and user_id.startswith(b"laszip"):
+            laszip_payload = payload
         pos += 54 + rec_len
 
-    body = raw[offset_to_points:offset_to_points + n_points * point_len]
-    records = np.frombuffer(body, dtype=np.uint8).reshape(n_points, point_len)
+    if laszip_payload is not None:
+        from .laz import decompress_points, parse_laszip_vlr
+
+        chunk_size, items = parse_laszip_vlr(laszip_payload)
+        item_len = sum(s for _, s, _ in items)
+        if item_len != point_len:
+            raise ValueError(f"LASzip item sizes ({item_len}) disagree with "
+                             f"header point length ({point_len})")
+        records = decompress_points(raw[offset_to_points:], offset_to_points,
+                                    n_points, chunk_size, items)
+    else:
+        body = raw[offset_to_points:offset_to_points + n_points * point_len]
+        records = np.frombuffer(body, dtype=np.uint8).reshape(n_points, point_len)
 
     def view(col_off, dtype, count=1):
         width = np.dtype(dtype).itemsize * count
@@ -159,30 +171,6 @@ def read_las(path: str) -> LasData:
                    gps_time=gps_time, intensity=intensity, extra=extra)
 
 
-def _read_with_laspy(path: str) -> LasData:
-    try:
-        import laspy  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            f"cannot read {path}: LAZ decoding requires laspy+lazrs, which are not "
-            "installed in this environment. Convert to .las/.npz first."
-        ) from e
-    lf = laspy.read(path)
-    xyz = np.vstack([
-        lf.X * lf.header.scales[0] + lf.header.offsets[0],
-        lf.Y * lf.header.scales[1] + lf.header.offsets[1],
-        lf.Z * lf.header.scales[2] + lf.header.offsets[2],
-    ]).T
-    extra = {}
-    if hasattr(lf, "treeID"):
-        extra["treeID"] = np.asarray(lf.treeID)
-    return LasData(
-        xyz=xyz,
-        classification=np.asarray(lf.classification),
-        extra=extra,
-    )
-
-
 def write_las(
     path: str,
     xyz: np.ndarray,
@@ -191,17 +179,21 @@ def write_las(
     extra: Optional[Dict[str, np.ndarray]] = None,
     scales=(0.001, 0.001, 0.001),
     offsets=(0.0, 0.0, 0.0),
+    compress: Optional[bool] = None,
 ) -> None:
     """Write a LAS 1.2 point-format-3 file with optional uint/float extra dims.
 
     Layout parity with the reference's laspy writer
-    (reference: tree_learn/util/pipeline.py:349-384).
+    (reference: tree_learn/util/pipeline.py:349-384).  ``compress`` selects
+    LASzip point compression (default: inferred from a ``.laz`` path).
     """
     xyz = np.asarray(xyz, dtype=np.float64)
     n = len(xyz)
     extra = dict(extra or {})
     scales = np.asarray(scales, dtype=np.float64)
     offsets = np.asarray(offsets, dtype=np.float64)
+    if compress is None:
+        compress = str(path).lower().endswith(".laz")
 
     eb_dims = []
     for name, arr in extra.items():
@@ -227,6 +219,18 @@ def write_las(
         vlr_header = struct.pack("<H16sHH32s", 0, b"LASF_Spec", 4, len(payload), b"Extra Bytes")
         vlr_blobs = vlr_header + payload
         n_vlrs = 1
+
+    laz_items = None
+    if compress:
+        from .laz import build_laszip_vlr, items_for_point_format
+
+        laz_items = items_for_point_format(3, point_len - base_len)
+        laz_payload = build_laszip_vlr(laz_items)
+        vlr_header = struct.pack("<H16sHH32s", 0, b"laszip encoded",
+                                 22204, len(laz_payload),
+                                 b"treelearn_tpu LASzip")
+        vlr_blobs += vlr_header + laz_payload
+        n_vlrs += 1
 
     header_size = 227
     offset_to_points = header_size + len(vlr_blobs)
@@ -270,7 +274,7 @@ def write_las(
     struct.pack_into("<H", header, 94, header_size)
     struct.pack_into("<I", header, 96, offset_to_points)
     struct.pack_into("<I", header, 100, n_vlrs)
-    header[104] = 3  # point format
+    header[104] = 3 | (0x80 if compress else 0)  # point format (+LAZ bit)
     struct.pack_into("<H", header, 105, point_len)
     struct.pack_into("<I", header, 107, n)
     struct.pack_into("<5I", header, 111, n, 0, 0, 0, 0)
@@ -279,7 +283,14 @@ def write_las(
     struct.pack_into("<6d", header, 179,
                      xyz_max[0], xyz_min[0], xyz_max[1], xyz_min[1], xyz_max[2], xyz_min[2])
 
+    if compress:
+        from .laz import compress_points
+
+        body = compress_points(records, offset_to_points, laz_items)
+    else:
+        body = records.tobytes()
+
     with open(path, "wb") as f:
         f.write(bytes(header))
         f.write(vlr_blobs)
-        f.write(records.tobytes())
+        f.write(body)

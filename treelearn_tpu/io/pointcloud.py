@@ -78,8 +78,8 @@ def save_data(data: np.ndarray, save_format: str, save_name: str, save_folder: s
 
     LAS/LAZ output parity (reference pipeline.py:344-384): ``treeID`` uint32 extra
     dim, For-Instance classification codes 2 (terrain) / 4 (stem), a random RGB
-    color per tree (non-trees black).  LAZ falls back to plain LAS encoding under
-    the requested name if no LAZ backend exists (this codec never compresses).
+    color per tree (non-trees black).  ``laz`` writes real LASzip-compressed
+    point data through the native codec (io/laz.py).
     """
     if save_format in ("las", "laz"):
         assert data.shape[1] == 4
