@@ -11,7 +11,15 @@ figure.  Its only runtime anchor is the Colab demo — the ~1600 m^2
 ``vs_baseline`` denominator; the L1W/A100 number must be measured once data and
 an A100 are available.
 
-Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Output: ONE JSON line {"metric", "value", "unit", "vs_baseline", ...} on
+stdout; per-stage progress goes to stderr so a partial (timed-out) run still
+shows where the time went.
+
+Sizing: the default (~1.1M points, one 131072-voxel bucket, depth-7 U-Net)
+finishes with a COLD compile cache in a few minutes on a v5e; the persistent
+compile cache (populated by any prior run with the same shapes) removes the
+~100 s eval-step compile on warm runs.  Scale up with BENCH_TREES / BENCH_PPT /
+BENCH_GROUND / BENCH_EXTENT / BENCH_CAPACITY env vars.
 """
 
 import json
@@ -21,30 +29,43 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import numpy as np
 
 BASELINE_MPTS_PER_SEC = 0.010
+V5E_BF16_PEAK_FLOPS = 98.5e12  # per chip
+
+def log(msg):
+    print(f"[bench +{time.time() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+T0 = time.time()
 
 
 def main():
     import jax
 
+    # persistent compile cache: the env-var route does not engage reliably on
+    # the axon backend — set it through jax.config explicitly.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from treelearn_tpu.config import ConfigDict, get_config
     from treelearn_tpu.data.synthetic import make_synthetic_forest
     from treelearn_tpu.pipeline import run_treelearn_pipeline
 
+    log(f"device: {jax.devices()[0]}")
     work = os.path.abspath("bench_workdir")
     shutil.rmtree(work, ignore_errors=True)
     forest_dir = os.path.join(work, "plot", "forest")
     os.makedirs(forest_dir, exist_ok=True)
 
-    n_trees = int(os.environ.get("BENCH_TREES", 120))
-    points_per_tree = int(os.environ.get("BENCH_PPT", 20000))
-    ground = int(os.environ.get("BENCH_GROUND", 600000))
-    extent = float(os.environ.get("BENCH_EXTENT", 60.0))
+    n_trees = int(os.environ.get("BENCH_TREES", 48))
+    points_per_tree = int(os.environ.get("BENCH_PPT", 16000))
+    ground = int(os.environ.get("BENCH_GROUND", 300000))
+    extent = float(os.environ.get("BENCH_EXTENT", 40.0))
+    capacity = int(os.environ.get("BENCH_CAPACITY", 1 << 17))
     data, _ = make_synthetic_forest(
         n_trees=n_trees, extent=extent, points_per_tree=points_per_tree,
         ground_points=ground, seed=0)
@@ -52,6 +73,7 @@ def main():
     forest_path = os.path.join(forest_dir, "bench_forest.npz")
     np.savez_compressed(forest_path, points=data[:, :3].astype(np.float32),
                         labels=data[:, 3])
+    log(f"synthetic forest: {n_points} pts, {n_trees} trees, {extent}m extent")
 
     config = get_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                      "configs", "pipeline", "pipeline.yaml"))
@@ -65,12 +87,38 @@ def main():
         "results_dir": "results",
     })
     config.shape_cfg.outer_remove = None
-    config.voxel_capacity = 1 << 19
+    config.voxel_capacity = capacity
     config.dataloader.batch_size = 1
 
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     result = run_treelearn_pipeline(config)
     elapsed = time.time() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        log(f"profiler trace written to {profile_dir}")
+
+    stage_seconds = result.get("stage_seconds", {})
+    for name, secs in stage_seconds.items():
+        log(f"stage {name:<18} {secs:7.2f}s")
+    tm = result.get("model_timings", {})
+    model_line = {}
+    if tm.get("steps"):
+        compute_s = max(tm["device_s"] - tm["compile_s"], 1e-9)
+        model_mpts = tm["points"] / compute_s / 1e6
+        mfu = (tm["flops_per_step"] * tm["steps"] / compute_s
+               / V5E_BF16_PEAK_FLOPS) if tm.get("flops_per_step") else None
+        log(f"model: {tm['steps']} steps, compile {tm['compile_s']:.1f}s, "
+            f"compute {compute_s:.2f}s -> {model_mpts:.1f} Mpts/s model-only"
+            + (f", MFU ~{100 * mfu:.1f}%" if mfu is not None else ""))
+        model_line = {
+            "model_only_mpts_per_sec": round(model_mpts, 2),
+            "model_compile_seconds": round(tm["compile_s"], 1),
+            "model_flops_per_step": tm.get("flops_per_step"),
+            **({"model_mfu": round(mfu, 4)} if mfu is not None else {}),
+        }
 
     mpts = n_points / elapsed / 1e6
     print(json.dumps({
@@ -81,6 +129,8 @@ def main():
         "n_points": n_points,
         "seconds": round(elapsed, 1),
         "n_trees_found": result["n_trees"],
+        "stage_seconds": stage_seconds,
+        **model_line,
         "device": str(jax.devices()[0]),
     }))
 

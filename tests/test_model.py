@@ -152,3 +152,36 @@ def test_point_wise_loss_masks():
     np.testing.assert_allclose(float(sem), ce.mean(), rtol=1e-5)
     dist = np.linalg.norm(np.asarray(offs) - np.asarray(off_labels), axis=1)
     np.testing.assert_allclose(float(off), dist.mean(), rtol=1e-4)
+
+
+def test_capacity_overflow_guard():
+    """An over-capacity tile must raise CapacityOverflow instead of silently
+    dropping voxels (the silent-truncation hazard of static shapes)."""
+    import pytest
+
+    from treelearn_tpu.model import TreeLearn
+    from treelearn_tpu.model.network import CapacityOverflow, check_capacity
+
+    model = TreeLearn(channels=4, num_blocks=2, kernel_size=3, dim_coord=3,
+                      dim_feat=1, use_coords=False, use_feats=False,
+                      spatial_shape=[64, 64, 64], voxel_size=0.1)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    # 4096 points on a 16x16x16 integer grid -> 4096 distinct voxels, but
+    # capacity is only 512: n_voxels_per_level must report the overflow
+    g = np.stack(np.meshgrid(*[np.arange(16)] * 3, indexing="ij"),
+                 axis=-1).reshape(-1, 3).astype(np.float32) * 0.1 + 0.05
+    n = len(g)
+    out, _ = model.apply(params, state, jnp.asarray(g),
+                         jnp.ones((n, 1), jnp.float32),
+                         jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
+                         batch_size=1, voxel_capacity=512, training=False)
+    with pytest.raises(CapacityOverflow):
+        check_capacity(out, 512, 2, context="test: ")
+
+    # same tile with enough capacity passes
+    out, _ = model.apply(params, state, jnp.asarray(g),
+                         jnp.ones((n, 1), jnp.float32),
+                         jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
+                         batch_size=1, voxel_capacity=8192, training=False)
+    check_capacity(out, 8192, 2, context="test: ")

@@ -76,3 +76,46 @@ def test_custom_vjp_matches_xla_autodiff_on_tpu():
     dx2, dw2 = jax.grad(loss_xla, argnums=(0, 1))(x, W)
     np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2), atol=1e-2, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2), atol=1e-2, rtol=1e-2)
+
+
+def test_banded_conv_interpret_mode_parity(monkeypatch):
+    """Small interpret-mode run of the banded kernel on CPU: fast enough for
+    CI, catches kernel-logic regressions without a TPU."""
+    import treelearn_tpu.ops.pallas_conv as pc
+
+    monkeypatch.setattr(pc, "_INTERPRET", True)
+    rng = np.random.default_rng(5)
+    grid, inv = _grid(n=300, shape=(12, 12, 24), cap=512, seed=5)
+    feats = jnp.where(grid.live_mask[:, None],
+                      jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32)),
+                      0.0)
+    rule = build_subm_rulebook(grid, 3)
+    W = jnp.asarray((rng.normal(size=(27, 8, 8)) * 0.1).astype(np.float32))
+
+    ref = subm_conv(feats, W, rule, grid.live_mask)
+    out = pc.subm_conv_banded(feats, W, rule, grid.live_mask,
+                              tile=256, window=512)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=0.02, rtol=0.02)
+
+
+def test_dw_kernel_interpret_mode_parity(monkeypatch):
+    """Interpret-mode parity of the Pallas weight-gradient kernel vs the XLA
+    gather-based dW."""
+    import treelearn_tpu.ops.pallas_conv as pc
+
+    monkeypatch.setattr(pc, "_INTERPRET", True)
+    rng = np.random.default_rng(6)
+    grid, _ = _grid(n=300, shape=(12, 12, 24), cap=512, seed=6)
+    rule = build_subm_rulebook(grid, 3)
+    x = jnp.where(grid.live_mask[:, None],
+                  jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32)), 0.0)
+    g = jnp.where(grid.live_mask[:, None],
+                  jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32)), 0.0)
+
+    want = pc.rule_conv_dw_xla(x, g, rule, grid.live_mask)
+    got = pc.rule_conv_dw_banded(x, g, rule, grid.live_mask,
+                                 tile=256, window=512)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.05, rtol=0.05)

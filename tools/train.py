@@ -29,15 +29,23 @@ def train_epoch(config, epoch, train_step, params, state, opt_state,
     losses = defaultdict(list)
     seen = 0
     for i, batch in enumerate(train_loader, start=1):
-        if config.examples_per_epoch < i * config.dataloader.train.batch_size:
+        if config.examples_per_epoch < seen + batch["n_samples"]:
             break
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                   if isinstance(v, np.ndarray)}
         params, state, opt_state, loss, loss_dict = train_step(
             params, state, opt_state, jbatch)
+        counts = loss_dict.pop("_n_voxels_per_level", None)
+        if counts is not None:
+            from treelearn_tpu.model.network import check_capacity
+
+            check_capacity({"n_voxels_per_level": counts},
+                           config.get("voxel_capacity", 1 << 19),
+                           config.model.num_blocks,
+                           context=f"train epoch {epoch} batch {i}: ")
         for k, v in loss_dict.items():
             losses[k].append(float(v))
-        seen += batch["batch_size"]
+        seen += batch["n_samples"]
 
     epoch_time = time.time() - start
     avg = {k: sum(v) / len(v) for k, v in losses.items()}
@@ -99,7 +107,9 @@ def main():
     from treelearn_tpu.data import TreeDataset, build_dataloader
     from treelearn_tpu.logging_utils import init_train_logger
     from treelearn_tpu.model import TreeLearn, load_checkpoint
-    from treelearn_tpu.model.checkpoint import checkpoint_save
+    from treelearn_tpu.model.checkpoint import (
+        checkpoint_save, load_native_checkpoint, opt_state_from_flat,
+        opt_state_to_flat)
     from treelearn_tpu.train.loop import build_optimizer, make_eval_step, make_train_step
 
     args, config = get_args_and_cfg()
@@ -108,14 +118,26 @@ def main():
     model = TreeLearn(**config.model)
     params, state = model.init(jax.random.PRNGKey(config.get("seed", 0)))
 
+    n_shards = 1
+    mesh = None
+    if args.dist:
+        from treelearn_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        n_shards = int(mesh.devices.size)
+        logger.info(f"data-parallel training over {n_shards} devices "
+                    f"(global batch = {config.dataloader.train.batch_size} "
+                    f"x {n_shards})")
+
     steps_per_epoch = max(config.examples_per_epoch
-                          // config.dataloader.train.batch_size, 1)
+                          // (config.dataloader.train.batch_size * n_shards), 1)
     optimizer = build_optimizer(config.optimizer, config.scheduler,
                                 steps_per_epoch, config.get("grad_norm_clip"))
 
     train_set = TreeDataset(**config.dataset_train, logger=logger)
     val_set = TreeDataset(**config.dataset_test, logger=logger)
     train_loader = build_dataloader(train_set, training=True,
+                                    n_shards=n_shards,
                                     **config.dataloader.train)
     val_loader = build_dataloader(val_set, training=False,
                                   **config.dataloader.test)
@@ -129,12 +151,27 @@ def main():
         params, state, _ = load_checkpoint(config.pretrain, params, state, logger)
 
     opt_state = optimizer.init(params)
+    if args.resume and args.resume.endswith(".npz"):
+        # restore AdamW moments + LR-schedule step (parity: the reference
+        # checkpoints {net, optimizer, epoch}, util/train.py:50-54)
+        _, _, opt_flat, _ = load_native_checkpoint(args.resume)
+        opt_state = opt_state_from_flat(opt_flat, opt_state)
+        if opt_flat:
+            logger.info("restored optimizer state from checkpoint")
     compute_dtype = jnp.bfloat16 if config.get("fp16") else jnp.float32
     voxel_capacity = int(config.get("voxel_capacity", 1 << 19))
-    train_step = make_train_step(model, optimizer,
-                                 batch_size=config.dataloader.train.batch_size,
-                                 voxel_capacity=voxel_capacity,
-                                 compute_dtype=compute_dtype)
+    if mesh is not None:
+        from treelearn_tpu.parallel import make_dp_train_step
+
+        train_step, _, _ = make_dp_train_step(
+            model, optimizer, mesh,
+            batch_size=config.dataloader.train.batch_size,
+            voxel_capacity=voxel_capacity, compute_dtype=compute_dtype)
+    else:
+        train_step = make_train_step(model, optimizer,
+                                     batch_size=config.dataloader.train.batch_size,
+                                     voxel_capacity=voxel_capacity,
+                                     compute_dtype=compute_dtype)
     eval_step = make_eval_step(model, batch_size=config.dataloader.test.batch_size,
                                voxel_capacity=voxel_capacity)
 
@@ -144,7 +181,9 @@ def main():
             config, epoch, train_step, params, state, opt_state,
             train_loader, logger, writer)
         checkpoint_save(epoch, jax.device_get(params), jax.device_get(state),
-                        config.work_dir, save_freq=config.save_frequency)
+                        config.work_dir,
+                        opt_state_flat=opt_state_to_flat(jax.device_get(opt_state)),
+                        save_freq=config.save_frequency)
         if config.validation_frequency and epoch % config.validation_frequency == 0:
             logger.info("Validation")
             validate(config, epoch, eval_step, params, state, val_loader,

@@ -186,7 +186,32 @@ def collate_padded(samples: Sequence[Dict[str, np.ndarray]],
     out["batch_ids"] = batch_ids
     out["valid"] = valid
     out["batch_size"] = len(samples)
+    out["n_samples"] = len(samples)
     out["n_points"] = total
+    return out
+
+
+def collate_dp(samples: Sequence[Dict[str, np.ndarray]], n_shards: int,
+               batch_size_per_shard: int,
+               pad_to: Optional[int] = None,
+               min_bucket: int = 1 << 14) -> Dict[str, np.ndarray]:
+    """Collate for data-parallel steps: splits ``samples`` into ``n_shards``
+    equal groups, pads every group to one common bucket, and stacks them on a
+    leading device axis (D, P, ...) — the layout shard_map expects
+    (parallel/mesh.py).  ``len(samples)`` must equal
+    ``n_shards * batch_size_per_shard``."""
+    assert len(samples) == n_shards * batch_size_per_shard, (
+        len(samples), n_shards, batch_size_per_shard)
+    groups = [samples[i * batch_size_per_shard:(i + 1) * batch_size_per_shard]
+              for i in range(n_shards)]
+    largest = max(sum(len(s["coords"]) for s in g) for g in groups)
+    size = pad_to if pad_to is not None else _round_up_bucket(largest, min_bucket)
+    collated = [collate_padded(g, pad_to=size) for g in groups]
+    out = {k: np.stack([c[k] for c in collated])
+           for k in collated[0] if isinstance(collated[0][k], np.ndarray)}
+    out["batch_size"] = batch_size_per_shard
+    out["n_samples"] = len(samples)
+    out["n_points"] = sum(c["n_points"] for c in collated)
     return out
 
 
@@ -196,34 +221,52 @@ class TreeLoader:
     Replaces the reference's torch DataLoader (util/train.py:125-141); no
     worker processes — this host has one core and the loading is npz reads,
     so the overlap win is on-device instead (donated buffers + async dispatch).
+
+    With ``n_shards > 1`` each yielded batch is a data-parallel stack of
+    ``n_shards`` per-device batches of ``batch_size`` samples each (the config
+    batch_size is per-device; global batch = batch_size * n_shards), padded to
+    a common bucket — see :func:`collate_dp`.
     """
 
     def __init__(self, dataset: TreeDataset, batch_size: int = 1,
                  training: bool = True, seed: int = 0,
                  pad_to: Optional[int] = None, min_bucket: int = 1 << 14,
-                 drop_last: Optional[bool] = None):
+                 drop_last: Optional[bool] = None, n_shards: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.training = training
         self.rng = np.random.default_rng(seed)
         self.pad_to = pad_to
         self.min_bucket = min_bucket
-        self.drop_last = training if drop_last is None else drop_last
+        self.n_shards = n_shards
+        # sharded batches are always full (static per-device shapes)
+        self.drop_last = (training if drop_last is None else drop_last) \
+            or n_shards > 1
+
+    @property
+    def _global_batch(self):
+        return self.batch_size * self.n_shards
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+        gb = self._global_batch
+        return n // gb if self.drop_last else (n + gb - 1) // gb
 
     def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.training:
             self.rng.shuffle(order)
-        for start in range(0, len(order), self.batch_size):
-            idx = order[start:start + self.batch_size]
-            if self.drop_last and len(idx) < self.batch_size:
+        gb = self._global_batch
+        for start in range(0, len(order), gb):
+            idx = order[start:start + gb]
+            if self.drop_last and len(idx) < gb:
                 return
             samples = [self.dataset[i] for i in idx]
-            yield collate_padded(samples, self.pad_to, self.min_bucket)
+            if self.n_shards > 1:
+                yield collate_dp(samples, self.n_shards, self.batch_size,
+                                 self.pad_to, self.min_bucket)
+            else:
+                yield collate_padded(samples, self.pad_to, self.min_bucket)
 
 
 def build_dataloader(dataset, batch_size=1, num_workers=0, training=True,

@@ -97,6 +97,40 @@ def checkpoint_save(epoch: int, params, state, work_dir: str,
         os.remove(prev)
 
 
+def opt_state_to_flat(opt_state) -> dict:
+    """Flatten an optax optimizer state into an npz-saveable dict keyed by
+    leaf index (the tree structure is reproducible from optimizer.init)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    return {f"{i:05d}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+
+
+def opt_state_from_flat(opt_flat: dict, opt_state_template):
+    """Restore an optax state saved by :func:`opt_state_to_flat` into the
+    structure of ``opt_state_template`` (a freshly initialized state for the
+    same optimizer + params).  Returns the template unchanged when the
+    checkpoint holds no optimizer state (pre-upgrade checkpoints)."""
+    import jax
+
+    if not opt_flat:
+        return opt_state_template
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state_template)
+    if len(opt_flat) != len(leaves):
+        raise ValueError(
+            f"optimizer state mismatch: checkpoint has {len(opt_flat)} leaves, "
+            f"optimizer expects {len(leaves)} (different optimizer config?)")
+    new_leaves = []
+    for i, tmpl in enumerate(leaves):
+        arr = np.asarray(opt_flat[f"{i:05d}"])
+        tmpl_arr = np.asarray(tmpl)
+        if arr.shape != tmpl_arr.shape:
+            raise ValueError(f"optimizer leaf {i}: shape {arr.shape} != "
+                             f"expected {tmpl_arr.shape}")
+        new_leaves.append(arr.astype(tmpl_arr.dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 # ---------------------------------------------------------------------------
 # torch .pth import
 # ---------------------------------------------------------------------------

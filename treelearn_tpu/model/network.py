@@ -15,6 +15,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.voxelize import devoxelize, voxelize_points
 from ..ops.sparse import grid_from_sorted_keys
@@ -36,6 +37,30 @@ def default_capacities(base_capacity: int, num_levels: int, floor: int = 512) ->
     """Per-level voxel capacities: halve per downsample (conservative for
     surface-like LiDAR sparsity), floor to keep tiny levels cheap-but-valid."""
     return tuple(max(base_capacity >> i, floor) for i in range(num_levels))
+
+
+class CapacityOverflow(RuntimeError):
+    """A tile produced more active voxels than a level's static capacity —
+    the sparse engine would silently drop voxels and mispredict.  Raise
+    loudly instead (the reference's analogue is spconv's "reach zero!!!"
+    crash-and-skip, util/pipeline.py:91-97; here overflow is the only
+    remaining shape hazard and it is detectable exactly)."""
+
+
+def check_capacity(output, voxel_capacity: int, num_blocks: int,
+                   context: str = "") -> None:
+    """Host-side per-batch guard: compares the model's per-level active-voxel
+    counts against the static level capacities; raises CapacityOverflow."""
+    import numpy as np
+
+    counts = np.asarray(output["n_voxels_per_level"])
+    caps = default_capacities(voxel_capacity, num_blocks)
+    for lvl, (n, cap) in enumerate(zip(counts, caps)):
+        if int(n) > int(cap):
+            raise CapacityOverflow(
+                f"{context}level {lvl}: {int(n)} active voxels > capacity "
+                f"{cap}. Increase voxel_capacity (currently {voxel_capacity}) "
+                f"or shrink the tile.")
 
 
 class TreeLearn:
@@ -117,6 +142,12 @@ class TreeLearn:
         backbone_feats (N, channels) — names parity with reference
         tree_learn.py:97-103.
         """
+        if self.spatial_shape is not None:
+            key_space = batch_size * int(np.prod(self.spatial_shape))
+            assert key_space < 2**31, (
+                f"voxel key space {key_space} overflows int32 keys "
+                f"(batch_size {batch_size} x spatial_shape {self.spatial_shape}); "
+                "reduce the batch size or spatial shape (ops/hashing.py keys)")
         spatial_shape = (
             jnp.asarray(self.spatial_shape, jnp.int32)
             if self.spatial_shape is not None else None
@@ -173,6 +204,9 @@ class TreeLearn:
             "offset_predictions": off.astype(jnp.float32),
             "backbone_feats": backbone_feats.astype(jnp.float32),
             "n_voxels": vb.n_voxels,
+            # per-level active counts for host-side overflow guards: a count
+            # above its level capacity means voxels were silently dropped
+            "n_voxels_per_level": jnp.stack([p.grid.n_active for p in plans]),
         }
         return output, new_state
 

@@ -6,11 +6,21 @@ Key observation making exact parity cheap: the reference runs
 DBSCAN(eps, min_samples=2) and then *discards clusters smaller than tau_min*
 (pipeline.py:176-179).  With min_samples=2 every point with a neighbor is core,
 so DBSCAN degenerates to connected components of the eps-ball graph; combined
-with the tau_min >= 2 size filter, noise handling is subsumed.  So the device
-algorithm is: bucket points into cells of eps/sqrt(2) (same-cell points are
-always within eps -> exact same-cell unions), add candidate cross-cell edges
-from the 5x5 cell neighborhood (capped per cell), and run min-label propagation
-with pointer jumping to a fixed point.
+with the tau_min >= 2 size filter, noise handling is subsumed.
+
+Algorithm: bucket points into xy cells of eps/sqrt(2).  All points sharing a
+cell are mutually within eps (cell diagonal == eps), so each cell is a clique
+and per-point cross-cell edges can target the *cell representative* (first
+sorted row of the cell) — connectivity over cells + cliques equals
+connectivity over points.  For every point we probe the 5x5 cell neighborhood
+with an evenly strided sample of ``cell_cap`` candidates per cell (exhaustive
+whenever the cell holds <= cell_cap points, i.e. the result is EXACT whenever
+``cell_cap >= max cell occupancy``); discovered edges are symmetrized and the
+component minimum is spread by scatter-min label propagation with pointer
+jumping.  For denser cells, ``dbscan_cluster`` runs extra phases with rotated
+sample offsets, carrying previous component edges, until the labeling is
+stable — an approximation that converges monotonically and is validated
+against sklearn DBSCAN in tests (adversarial dense-boundary cases included).
 """
 
 from __future__ import annotations
@@ -23,8 +33,11 @@ import numpy as np
 
 from .hashing import SENTINEL
 
+_GRID_WIDTH = 30000  # linearized cell-key stride (max grid cells per axis)
+_BIG = jnp.int32(2**30)
 
-def _cell_keys(points, valid, cell_size, n_cells_cap: int = 30000):
+
+def _cell_keys(points, valid, cell_size, n_cells_cap: int = _GRID_WIDTH):
     """2D cell key per point (int32), SENTINEL for invalid points."""
     ij = jnp.floor(points / cell_size).astype(jnp.int64)
     mins = jnp.min(jnp.where(valid[:, None], ij, jnp.iinfo(jnp.int32).max), axis=0)
@@ -35,69 +48,115 @@ def _cell_keys(points, valid, cell_size, n_cells_cap: int = 30000):
     return key, ij
 
 
+def _pow2(x: int) -> int:
+    return 1 << int(np.ceil(np.log2(max(int(x), 1))))
+
+
+# 5x5 neighborhood: with cell = eps/sqrt2 an eps-ball spans at most 2 cells
+# per axis ((+-2,+-2) touches only in the exact d == eps corner case).
+_OFFSETS_2D = [(di, dj) for di in range(-2, 3) for dj in range(-2, 3)]
+
+
 @partial(jax.jit, static_argnames=("eps", "cell_cap", "max_rounds"))
 def connected_components_2d(points: jnp.ndarray, valid: jnp.ndarray,
                             eps: float, cell_cap: int = 16,
-                            max_rounds: int = 32) -> jnp.ndarray:
+                            max_rounds: int = 64,
+                            phase: jnp.ndarray | float = 0.0,
+                            prev_labels: jnp.ndarray | None = None) -> jnp.ndarray:
     """Labels (N,) int32: connected components of the eps-ball graph over the
     xy ``points``; invalid rows get -1.  Labels are the minimum point index in
     each component (not consecutive — relabel on the host or with sort_unique).
+
+    ``phase`` in [0, 1) rotates the strided per-cell candidate sample (used by
+    the multi-phase escalation in :func:`dbscan_cluster`).  ``prev_labels``
+    (input order, same contract as the return value) adds the previous
+    labeling's component edges so phases merge monotonically.
     """
     n = points.shape[0]
     cell = float(eps) / np.sqrt(2.0)
+    eps2 = jnp.float32(float(eps) ** 2)
     keys, _ = _cell_keys(points, valid, cell)
 
     order = jnp.argsort(keys, stable=True)
+    inv_order = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
     sorted_keys = keys[order]
     sorted_pts = points[order]
     pos = jnp.arange(n, dtype=jnp.int32)
-    first = jnp.concatenate([jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]])
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             sorted_keys[1:] != sorted_keys[:-1]])
     seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, pos, 0))
     live = sorted_keys != SENTINEL
 
-    # candidate neighbors: for each point, the first `cell_cap` points of each
-    # cell in the 5x5 neighborhood (cell = eps/sqrt2 -> radius spans 2 cells).
-    width = jnp.int32(30000)
-    offsets = [(di, dj) for di in range(-2, 3) for dj in range(-2, 3)
-               if di * di + dj * dj <= 8]  # cells possibly within eps
-    cand_idx = []
-    for di, dj in offsets:
+    # per (point, neighbor-cell): run start + length in the sorted order
+    width = jnp.int32(_GRID_WIDTH)
+    starts, lens = [], []
+    for di, dj in _OFFSETS_2D:
         nbr_key = jnp.where(live, sorted_keys + di * width + dj, SENTINEL)
-        start = jnp.searchsorted(sorted_keys, nbr_key).astype(jnp.int32)
-        for r in range(cell_cap):
-            idx = jnp.clip(start + r, 0, n - 1)
-            ok = (sorted_keys[idx] == nbr_key) & live
-            cand_idx.append(jnp.where(ok, idx, -1))
-    cand = jnp.stack(cand_idx, axis=1)  # (n, n_offsets*cell_cap) sorted-index space
+        s = jnp.searchsorted(sorted_keys, nbr_key, side="left").astype(jnp.int32)
+        e = jnp.searchsorted(sorted_keys, nbr_key, side="right").astype(jnp.int32)
+        ok = live & (nbr_key != SENTINEL)
+        starts.append(jnp.where(ok, s, 0))
+        lens.append(jnp.where(ok, e - s, 0))
+    start_o = jnp.stack(starts, axis=1)  # (n, 25)
+    len_o = jnp.stack(lens, axis=1)      # (n, 25)
 
-    # exact eps filter on candidates
-    cpts = sorted_pts[jnp.clip(cand, 0, n - 1)]
-    d2 = jnp.sum(jnp.square(cpts - sorted_pts[:, None, :]), axis=-1)
-    good = (cand >= 0) & (d2 <= float(eps) ** 2)
-    cand = jnp.where(good, cand, n)  # n = self (no-op in min-propagation)
+    # strided candidate scan: rank r probes position floor((r+phase)*L/cap)
+    # of each neighbor cell — exhaustive when L <= cap, an evenly spread
+    # sample otherwise.  Only the found/not-found bit per cell is kept.
+    phase_f = jnp.float32(phase)
+    len_f = len_o.astype(jnp.float32)
 
-    # same-cell union: always connect to the first point of the own cell
-    # (exact: same-cell distance <= cell*sqrt2 = eps).
+    def rank_body(found, r):
+        offs = jnp.floor((r.astype(jnp.float32) + phase_f)
+                         * len_f / jnp.float32(cell_cap)).astype(jnp.int32)
+        offs = jnp.minimum(offs, len_o - 1)
+        idx = jnp.clip(start_o + offs, 0, n - 1)
+        cpts = sorted_pts[idx]  # (n, 25, 2)
+        d2 = jnp.sum(jnp.square(cpts - sorted_pts[:, None, :]), axis=-1)
+        return found | ((len_o > 0) & (d2 <= eps2)), None
+
+    found0 = jnp.zeros((n, len(_OFFSETS_2D)), bool)
+    found, _ = jax.lax.scan(rank_body, found0,
+                            jnp.arange(cell_cap, dtype=jnp.int32))
+    found = found & live[:, None]
+
+    # undirected edge list in sorted space: (probe, neighbor-cell rep) both
+    # ways, own-cell clique rep, and previous-phase component edges.
+    dst_rep = jnp.where(found, start_o, n)          # n == masked
+    src_pt = jnp.broadcast_to(pos[:, None], dst_rep.shape)
+    src_pt = jnp.where(found, src_pt, n)
     own_rep = jnp.where(live, seg_start, n)
-    cand = jnp.concatenate([cand, own_rep[:, None]], axis=1)
+    live_pos = jnp.where(live, pos, n)
+    edge_src = [src_pt.reshape(-1), dst_rep.reshape(-1), live_pos, own_rep]
+    edge_dst = [dst_rep.reshape(-1), src_pt.reshape(-1), own_rep, live_pos]
+    if prev_labels is not None:
+        prev_sorted = jnp.where(
+            (prev_labels[order] >= 0) & live,
+            inv_order[jnp.clip(prev_labels[order], 0, n - 1)], n)
+        edge_src += [live_pos, prev_sorted]
+        edge_dst += [prev_sorted, live_pos]
+    src = jnp.concatenate(edge_src)
+    dst = jnp.concatenate(edge_dst)
 
     labels0 = jnp.where(live, pos, jnp.int32(n))
 
     def body(carry):
-        labels, _ = carry
-        padded = jnp.concatenate([labels, jnp.array([2**30], jnp.int32)])
-        nbr_labels = padded[cand]  # (n, C)
-        new = jnp.minimum(labels, jnp.min(nbr_labels, axis=1))
-        # pointer jumping: label of my label (labels index the sorted space)
+        labels, _, r = carry
+        padded = jnp.concatenate([labels, jnp.array([_BIG], jnp.int32)])
+        incoming = jnp.full((n + 1,), _BIG, jnp.int32).at[src].min(padded[dst])
+        new = jnp.minimum(labels, incoming[:n])
+        padded = jnp.concatenate([new, jnp.array([_BIG], jnp.int32)])
+        # pointer jumping: labels index the sorted space
         new = jnp.minimum(new, padded[jnp.clip(new, 0, n)])
         new = jnp.minimum(new, padded[jnp.clip(padded[jnp.clip(new, 0, n)], 0, n)])
-        changed = jnp.any(new != labels)
-        return new, changed
+        return new, jnp.any(new != labels), r + 1
 
     def cond(carry):
-        return carry[1]
+        return carry[1] & (carry[2] < max_rounds)
 
-    labels, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True)))
+    labels, _, _ = jax.lax.while_loop(cond, body,
+                                      (labels0, jnp.bool_(True), jnp.int32(0)))
 
     # scatter back to input order; translate sorted-space min index to a stable
     # component id (the original index of the component's min-sorted member).
@@ -123,24 +182,56 @@ def relabel_components_np(labels: np.ndarray, min_size: int,
     return out
 
 
+def _max_cell_occupancy(points_xy: np.ndarray, cell: float) -> int:
+    if len(points_xy) == 0:
+        return 0
+    ij = np.floor(points_xy / cell).astype(np.int64)
+    ij -= ij.min(axis=0)
+    lin = ij[:, 0] * (ij[:, 1].max() + 1) + ij[:, 1]
+    return int(np.bincount(lin).max())
+
+
 def dbscan_cluster(points_xy: np.ndarray, eps: float, min_size: int,
                    not_assigned_label: int = -1, start_num: int = 1,
-                   cell_cap: int = 16) -> np.ndarray:
+                   cell_cap: int | None = None, max_cap: int = 256,
+                   n_phases: int = 4) -> np.ndarray:
     """End-to-end DBSCAN-mode grouping: device components + host relabel.
 
-    Accepts/returns numpy; pads to a power-of-two bucket internally.
+    Accepts/returns numpy; pads to a power-of-two bucket internally.  The
+    per-cell candidate cap escalates to the fullest cell's occupancy (exact
+    result) up to ``max_cap``; past that, extra phases with rotated sample
+    offsets run until the labeling stabilizes.
     """
     n = len(points_xy)
     if n == 0:
         return np.zeros(0, np.int64)
-    size = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
+    size = _pow2(max(n, 1024))
     pts = np.zeros((size, 2), np.float32)
     pts[:n] = points_xy[:, :2]
     valid = np.zeros(size, bool)
     valid[:n] = True
-    comp = np.asarray(connected_components_2d(
-        jnp.asarray(pts), jnp.asarray(valid), float(eps), cell_cap=cell_cap))[:n]
-    return relabel_components_np(comp, min_size, not_assigned_label, start_num)
+
+    max_occ = _max_cell_occupancy(points_xy[:, :2], float(eps) / np.sqrt(2.0))
+    if cell_cap is None:
+        cell_cap = min(_pow2(max(max_occ, 16)), _pow2(max_cap))
+    exact = max_occ <= cell_cap
+
+    pts_j, valid_j = jnp.asarray(pts), jnp.asarray(valid)
+    comp = connected_components_2d(pts_j, valid_j, float(eps),
+                                   cell_cap=cell_cap, phase=0.0)
+    if not exact:
+        prev = np.asarray(comp)
+        for p in range(1, n_phases):
+            comp = connected_components_2d(
+                pts_j, valid_j, float(eps), cell_cap=cell_cap,
+                phase=p / n_phases, prev_labels=jnp.asarray(prev))
+            cur = np.asarray(comp)
+            if (cur == prev).all():
+                break
+            prev = cur
+        comp = prev
+    return relabel_components_np(np.asarray(comp)[:n], min_size,
+                                 not_assigned_label, start_num)
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +251,7 @@ def _grid_knn_once(ref_pts, ref_valid, query_pts, query_valid, cell_size,
     sorted_keys = keys_r[order]
     sorted_ref = ref_pts[order]
 
-    width = jnp.int32(30000)
+    width = jnp.int32(_GRID_WIDTH)
     mins = jnp.min(jnp.where(ref_valid[:, None],
                              jnp.floor(ref_pts[:, :2] / cell_size).astype(jnp.int64),
                              jnp.iinfo(jnp.int32).max), axis=0)
@@ -193,6 +284,71 @@ def _grid_knn_once(ref_pts, ref_valid, query_pts, query_valid, cell_size,
     return orig_idx, -neg_d2
 
 
+@partial(jax.jit, static_argnames=("k", "r_block"))
+def _brute_topk_block(ref_pts, ref_valid, query_blk, k: int, r_block: int):
+    """Streaming exact k-NN of one query block against all refs.
+
+    Scans the refs in ``r_block`` chunks keeping a running top-k, so device
+    memory is O(Q * r_block) regardless of the ref count.  The cross term is
+    a (Q, d) @ (d, r_block) matmul (MXU) — never a dense (Q, R) materialize.
+    """
+    nr = ref_pts.shape[0]
+    n_chunks = nr // r_block
+    nq = query_blk.shape[0]
+    q2 = jnp.sum(jnp.square(query_blk), axis=-1)
+
+    def scan_fn(carry, inputs):
+        best_d2, best_idx = carry
+        rpts, rval, base = inputs
+        r2 = jnp.sum(jnp.square(rpts), axis=-1)
+        d2 = q2[:, None] + r2[None, :] - 2.0 * (query_blk @ rpts.T)
+        d2 = jnp.where(rval[None, :], d2, jnp.inf)
+        cat_d2 = jnp.concatenate([best_d2, d2], axis=1)
+        idx_chunk = jnp.broadcast_to(base + jnp.arange(r_block, dtype=jnp.int32),
+                                     (nq, r_block))
+        cat_idx = jnp.concatenate([best_idx, idx_chunk], axis=1)
+        neg, sel = jax.lax.top_k(-cat_d2, k)
+        return (-neg, jnp.take_along_axis(cat_idx, sel, axis=1)), None
+
+    init = (jnp.full((nq, k), jnp.inf, jnp.float32),
+            jnp.full((nq, k), -1, jnp.int32))
+    chunks = (ref_pts.reshape(n_chunks, r_block, -1),
+              ref_valid.reshape(n_chunks, r_block),
+              (jnp.arange(n_chunks, dtype=jnp.int32) * r_block))
+    (d2, idx), _ = jax.lax.scan(scan_fn, init, chunks)
+    return idx, d2
+
+
+def brute_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
+              q_block: int = 4096, r_block: int = 8192) -> np.ndarray:
+    """Exact k-NN with bounded memory: blocks queries on the host, streams
+    refs on the device.  Peak device memory ~= q_block * r_block floats."""
+    nq, nr = len(query_pts), len(ref_pts)
+    k_eff = min(k, nr)
+    r_block = min(r_block, _pow2(max(nr, 16)))
+    size_r = int(np.ceil(max(nr, 1) / r_block)) * r_block
+    ref = np.zeros((size_r, ref_pts.shape[1]), np.float32)
+    ref[:nr] = ref_pts
+    rv = np.zeros(size_r, bool)
+    rv[:nr] = True
+    ref_j, rv_j = jnp.asarray(ref), jnp.asarray(rv)
+
+    out = np.empty((nq, k), np.int64)
+    q_block = min(q_block, _pow2(max(nq, 16)))
+    for lo in range(0, nq, q_block):
+        hi = min(lo + q_block, nq)
+        blk = np.zeros((q_block, query_pts.shape[1]), np.float32)
+        blk[: hi - lo] = query_pts[lo:hi]
+        idx, _ = _brute_topk_block(ref_j, rv_j, jnp.asarray(blk),
+                                   k=k_eff, r_block=r_block)
+        idx = np.asarray(idx)[: hi - lo]
+        if k_eff < k:  # fewer refs than k: repeat the nearest
+            idx = np.concatenate(
+                [idx, np.repeat(idx[:, :1], k - k_eff, axis=1)], axis=1)
+        out[lo:hi] = idx
+    return out
+
+
 def grid_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
              cell_size: float = None, cell_cap: int = 32,
              exact: bool = True) -> np.ndarray:
@@ -203,40 +359,32 @@ def grid_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
     its own compiled program).
 
     exact=True sizes the per-cell candidate cap to the fullest cell so results
-    match brute force (falls back to host brute force past cap 512) — use on
-    small/offline paths.  exact=False keeps a fixed cap: on heavily clumped
-    data (offset-shifted tree bases) it returns near-nearest neighbors from a
-    per-cell sample, which is what the 5-NN majority assignment actually needs
-    (reference tolerance: KNeighborsClassifier over millions of points is
-    itself distance-tie unstable).
+    match brute force; cells denser than 512 points (heavily clumped data,
+    e.g. offset-shifted tree bases) skip the grid and go to the streaming
+    chunked brute-force pass — bounded memory at any scale.  exact=False keeps
+    a fixed cap: it returns near-nearest neighbors from a per-cell sample,
+    which is what the 5-NN majority assignment actually needs (reference
+    tolerance: KNeighborsClassifier over millions of points is itself
+    distance-tie unstable).
     """
     nq, nr = len(query_pts), len(ref_pts)
     d = ref_pts.shape[1]
     if cell_size is None:
         # heuristic: aim for O(cell_cap) refs per cell under uniform density
         extent = np.ptp(ref_pts[:, :2], axis=0).max() + 1e-6
-        cell_size = max(extent / np.sqrt(max(nr, 1) / max(cell_cap, 1)) , 1e-3)
+        cell_size = max(extent / np.sqrt(max(nr, 1) / max(cell_cap, 1)), 1e-3)
 
     def pad(a, size, dims):
         out = np.zeros((size, dims), np.float32)
         out[: len(a)] = a
         return out
 
-    size_r = 1 << max(int(np.ceil(np.log2(max(nr, 1024)))), 10)
-    size_q = 1 << max(int(np.ceil(np.log2(max(nq, 1024)))), 10)
+    size_r = _pow2(max(nr, 1024))
+    size_q = _pow2(max(nq, 1024))
     ref_j = jnp.asarray(pad(ref_pts, size_r, d))
     rv = np.zeros(size_r, bool); rv[:nr] = True
     qv = np.zeros(size_q, bool); qv[:nq] = True
     query_j = jnp.asarray(pad(query_pts, size_q, d))
-
-    def _pow2(x):
-        return 1 << int(np.ceil(np.log2(max(x, 1))))
-
-    def _max_occupancy(cs):
-        ij = np.floor(ref_pts[:, :2] / cs).astype(np.int64)
-        ij -= ij.min(axis=0)
-        lin = ij[:, 0] * (ij[:, 1].max() + 1) + ij[:, 1]
-        return int(np.bincount(lin).max())
 
     idx = np.full((nq, k), -1, np.int64)
     need = np.ones(nq, bool)
@@ -247,9 +395,9 @@ def grid_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
         cs = float(cell_size * scale)
         if exact:
             # exactness: the cap must cover the fullest cell at this scale
-            cap = _pow2(max(_max_occupancy(cs), k, cell_cap))
+            cap = _pow2(max(_max_cell_occupancy(ref_pts[:, :2], cs), k, cell_cap))
             if cap > 512:
-                break  # too dense for the grid pass; brute-force stragglers
+                break  # too dense for the grid pass; chunked brute force below
         else:
             cap = _pow2(max(k, cell_cap))
         out_idx, _ = _grid_knn_once(
@@ -263,10 +411,9 @@ def grid_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
         scale *= 4.0
     if need.any():
         rem = np.where(need)[0]
-        if exact or len(rem) * len(ref_pts) <= 2 * 10**8:
-            # exact brute force for the stragglers (host)
-            d2 = ((query_pts[rem, None, :] - ref_pts[None, :, :]) ** 2).sum(-1)
-            idx[rem] = np.argsort(d2, axis=1)[:, :k]
+        if exact or len(rem) * nr <= 2 * 10**10:
+            # exact streaming brute force for the stragglers (bounded memory)
+            idx[rem] = brute_knn(ref_pts, query_pts[rem], k=k)
         else:
             # approximate mode on huge data: accept partial neighbor sets from
             # one more coarse pass, filling missing slots with the nearest found
@@ -274,18 +421,19 @@ def grid_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
                 ref_j, jnp.asarray(rv), query_j, jnp.asarray(qv),
                 float(cell_size * scale), k=k,
                 cell_cap=_pow2(max(k, cell_cap)), ring=1)
-            partial = np.asarray(out_idx)[:nq][rem]
-            have_any = (partial >= 0).any(axis=1)
-            nearest = partial[np.arange(len(partial)), (partial >= 0).argmax(axis=1)]
+            partial_idx = np.asarray(out_idx)[:nq][rem]
+            have_any = (partial_idx >= 0).any(axis=1)
+            nearest = partial_idx[np.arange(len(partial_idx)),
+                                  (partial_idx >= 0).argmax(axis=1)]
             for col in range(k):
-                miss = partial[:, col] < 0
-                partial[miss & have_any, col] = nearest[miss & have_any]
-            # rows with nothing at all: brute force just those
+                miss = partial_idx[:, col] < 0
+                partial_idx[miss & have_any, col] = nearest[miss & have_any]
+            # rows with nothing at all: streaming brute force just those
             none_rows = rem[~have_any]
             if len(none_rows):
-                d2 = ((query_pts[none_rows, None, :] - ref_pts[None, :, :]) ** 2).sum(-1)
-                partial[~have_any] = np.argsort(d2, axis=1)[:, :k]
-            idx[rem] = partial
+                partial_idx[~have_any] = brute_knn(ref_pts,
+                                                   query_pts[none_rows], k=k)
+            idx[rem] = partial_idx
     return idx
 
 

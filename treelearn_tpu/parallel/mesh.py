@@ -80,20 +80,23 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, *, batch_size: int,
 
         sums = jnp.stack([(ce * msem).sum(), msem.sum(),
                           (dist * moff).sum(), moff.sum()])
-        return sums, new_state
+        return sums, output["n_voxels_per_level"], new_state
 
     def step_fn(params, state, opt_state, batch):
         # shard_map delivers the sharded leading device axis as size 1: strip it
         batch = jax.tree.map(lambda x: x[0], batch)
 
         def loss_fn(p):
-            sums, new_state = local_loss_terms(p, state, batch)
+            sums, counts, new_state = local_loss_terms(p, state, batch)
             g = jax.lax.psum(sums, axis_name)
             sem_loss = jnp.where(g[1] > 0, g[0] / jnp.maximum(g[1], 1.0), 0.0)
             off_loss = jnp.where(g[3] > 0, g[2] / jnp.maximum(g[3], 1.0), 0.0)
             loss = sem_loss * LOSS_MULTIPLIER_SEMANTIC + off_loss
             return loss, (new_state, {"semantic_loss": sem_loss * LOSS_MULTIPLIER_SEMANTIC,
-                                      "offset_loss": off_loss})
+                                      "offset_loss": off_loss,
+                                      # worst shard drives the overflow guard
+                                      "_n_voxels_per_level":
+                                          jax.lax.pmax(counts, axis_name)})
 
         (loss, (new_state, loss_dict)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -133,7 +136,8 @@ def make_dp_inference_step(model, mesh: Mesh, *, batch_size: int,
             training=False, compute_dtype=compute_dtype,
         )
         return {k: output[k][None] for k in
-                ("semantic_prediction_logits", "offset_predictions", "backbone_feats")}
+                ("semantic_prediction_logits", "offset_predictions",
+                 "backbone_feats", "n_voxels_per_level")}
 
     sharded_fwd = jax.shard_map(
         fwd, mesh=mesh,

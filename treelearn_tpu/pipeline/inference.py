@@ -1,49 +1,123 @@
-"""Batched pointwise inference over tiles.
+"""Batched pointwise inference over tiles with double-buffered streaming.
 
 Parity: get_pointwise_preds (reference util/pipeline.py:79-109) — forward every
 tile, keep only inner-square points, un-center coordinates, concatenate.  The
 reference's exception-skip for spconv shape collapse (pipeline.py:91-97) has no
 equivalent failure mode here: shapes are static and downsampling drop rules are
 masked scatters.
+
+TPU-native structure: tile cutting + H2D transfer of batch t+1 runs on a
+background thread while the device computes batch t, and host-side harvesting
+of batch t's outputs happens after batch t+1 has been dispatched — inference
+wall-clock is max(compute, host+transfer) per batch, not the sum.  Eval steps
+are AOT-compiled per shape bucket; XLA's own cost analysis provides the FLOPs
+for the MFU report.
 """
 
 from __future__ import annotations
 
-from typing import Dict
+import queue
+import threading
+import time
+from typing import Dict, Iterable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+_SENTINEL = object()
+
+
+def _prefetch(loader: Iterable, depth: int = 2):
+    """Run the loader (tile cutting + collate) on a background thread and
+    device_put each batch, so H2D overlaps device compute."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            for batch in loader:
+                if isinstance(batch, tuple):  # pre-paired (device part, host part)
+                    q.put(batch)
+                else:
+                    jbatch = {k: jax.device_put(np.asarray(v))
+                              for k, v in batch.items()
+                              if isinstance(v, np.ndarray)}
+                    q.put((jbatch, batch))
+            q.put(_SENTINEL)
+        except BaseException as e:  # surface loader errors in the main thread
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def _group_for_dp(dataloader: Iterable, n_dev: int):
+    """Group equal-shape tile batches into device stacks (D, ...) for the
+    data-parallel inference step; a trailing partial group is padded with
+    all-invalid copies (static shapes; masked out at harvest)."""
+    buf = []
+
+    def flush(buf):
+        while len(buf) < n_dev:
+            dummy = dict(buf[0])
+            dummy["valid"] = np.zeros_like(buf[0]["valid"])
+            buf.append(dummy)
+        stacked = {k: np.stack([b[k] for b in buf])
+                   for k in buf[0] if isinstance(buf[0][k], np.ndarray)}
+        return stacked, list(buf)
+
+    for batch in dataloader:
+        if buf and batch["coords"].shape != buf[0]["coords"].shape:
+            yield flush(buf)
+            buf = []
+        buf.append(batch)
+        if len(buf) == n_dev:
+            yield flush(buf)
+            buf = []
+    if buf:
+        yield flush(buf)
+
 
 def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int,
-                        compute_dtype=jnp.float32, logger=None):
+                        compute_dtype=jnp.float32, logger=None,
+                        timings: Optional[dict] = None, mesh=None):
     """Returns numpy arrays (semantic_logits, semantic_labels, offset_preds,
     offset_labels, coords, instance_labels, backbone_feats, input_feats) over
-    all inner-mask points of all tiles."""
+    all inner-mask points of all tiles.
+
+    If ``timings`` is a dict it is filled with {"compile_s", "device_s",
+    "points", "flops_per_step", "steps"} for the bench's MFU report.
+
+    With ``mesh`` (a jax Mesh) tile batches are sharded over the mesh's
+    devices and forwarded in parallel (parallel/mesh.py).
+    """
     from ..train.loop import make_eval_step
 
     step_cache: Dict[tuple, callable] = {}
     outs = {k: [] for k in ("semantic_prediction_logits", "semantic_labels",
                             "offset_predictions", "offset_labels", "coords",
                             "instance_labels", "backbone_feats", "input_feats")}
+    tm = timings if timings is not None else {}
+    tm.setdefault("compile_s", 0.0)
+    tm.setdefault("device_s", 0.0)
+    tm.setdefault("points", 0)
+    tm.setdefault("steps", 0)
+    tm.setdefault("flops_per_step", 0.0)
 
-    for batch in dataloader:
-        key = (batch["coords"].shape[0], batch["batch_size"])
-        if key not in step_cache:
-            step_cache[key] = make_eval_step(
-                model, batch_size=batch["batch_size"],
-                voxel_capacity=voxel_capacity, compute_dtype=compute_dtype)
-            if logger:
-                logger.info(f"compiling eval step for bucket {key}")
-        eval_step = step_cache[key]
+    from ..model.network import check_capacity
 
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                  if isinstance(v, np.ndarray)}
-        output = eval_step(params, state, jbatch)
-
+    def harvest(output, batch):
+        check_capacity(output, voxel_capacity, model.num_blocks,
+                       context="inference batch: ")
         keep = np.asarray(batch["masks_inner"] & batch["valid"])
         coords = np.asarray(batch["coords"]) + np.asarray(batch["centers"])
-
         outs["semantic_prediction_logits"].append(
             np.asarray(output["semantic_prediction_logits"])[keep])
         outs["offset_predictions"].append(
@@ -54,6 +128,84 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         outs["coords"].append(coords[keep])
         outs["instance_labels"].append(np.asarray(batch["instance_labels"])[keep])
         outs["input_feats"].append(np.asarray(batch["input_feats"])[keep])
+
+    if mesh is not None:
+        from ..parallel.mesh import make_dp_inference_step
+
+        n_dev = int(mesh.devices.size)
+        if logger:
+            logger.info(f"data-parallel inference over {n_dev} devices")
+        dp_cache: Dict[tuple, callable] = {}
+        pending = None  # (output_device, [host shard batches])
+        t_dev0 = time.time()
+        for stacked, shards in _prefetch(_group_for_dp(dataloader, n_dev)):
+            key = (shards[0]["coords"].shape[0], shards[0]["batch_size"])
+            if key not in dp_cache:
+                if logger:
+                    logger.info(f"compiling DP eval step for bucket {key}")
+                t0 = time.time()
+                dp_cache[key] = make_dp_inference_step(
+                    model, mesh, batch_size=shards[0]["batch_size"],
+                    voxel_capacity=voxel_capacity, compute_dtype=compute_dtype)
+                tm["compile_s"] += time.time() - t0
+            output = dp_cache[key](params, state, stacked)
+            tm["steps"] += 1
+            tm["points"] += sum(int(np.asarray(s["valid"]).sum()) for s in shards)
+            if pending is not None:
+                out_prev, shards_prev = pending
+                out_np = {k: np.asarray(v) for k, v in out_prev.items()}
+                for d, shard in enumerate(shards_prev):
+                    harvest({k: v[d] for k, v in out_np.items()}, shard)
+            pending = (output, shards)
+        if pending is not None:
+            out_prev, shards_prev = pending
+            out_np = {k: np.asarray(v) for k, v in out_prev.items()}
+            for d, shard in enumerate(shards_prev):
+                harvest({k: v[d] for k, v in out_np.items()}, shard)
+        tm["device_s"] = time.time() - t_dev0
+        cat = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+        return (cat["semantic_prediction_logits"], cat["semantic_labels"],
+                cat["offset_predictions"], cat["offset_labels"], cat["coords"],
+                cat["instance_labels"], cat["backbone_feats"], cat["input_feats"])
+
+    pending = None  # (output_device, host_batch)
+    t_dev0 = None
+    for jbatch, batch in _prefetch(dataloader):
+        key = (batch["coords"].shape[0], batch["batch_size"])
+        if key not in step_cache:
+            if logger:
+                logger.info(f"compiling eval step for bucket {key}")
+            t0 = time.time()
+            step = make_eval_step(model, batch_size=batch["batch_size"],
+                                  voxel_capacity=voxel_capacity,
+                                  compute_dtype=compute_dtype)
+            compiled = step.lower(params, state, jbatch).compile()
+            dt = time.time() - t0
+            tm["compile_s"] += dt
+            try:
+                cost = compiled.cost_analysis()
+                cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+                tm["flops_per_step"] = max(tm["flops_per_step"],
+                                           float(cost.get("flops", 0.0)))
+            except Exception:
+                pass
+            if logger:
+                logger.info(f"compiled bucket {key} in {dt:.1f}s")
+            step_cache[key] = compiled
+        eval_step = step_cache[key]
+
+        if t_dev0 is None:
+            t_dev0 = time.time()
+        output = eval_step(params, state, jbatch)  # async dispatch
+        tm["steps"] += 1
+        tm["points"] += int(np.asarray(batch["valid"]).sum())
+        if pending is not None:
+            harvest(*pending)  # blocks on t-1 while the device runs t
+        pending = (output, batch)
+    if pending is not None:
+        harvest(*pending)
+    if t_dev0 is not None:
+        tm["device_s"] = time.time() - t_dev0
 
     cat = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
     return (cat["semantic_prediction_logits"], cat["semantic_labels"],

@@ -55,13 +55,19 @@ def save_treewise(coords, instance_preds, cluster_means_within_hull,
     for d in dirs.values():
         os.makedirs(d, exist_ok=True)
 
+    # non-trees + any never-assigned points (labels <= non_trees_label) land
+    # in one non_trees file; tree instances are labels 1..K
+    nt_mask = instance_preds <= non_trees_label
+    if nt_mask.any():
+        pred_coord = np.hstack([coords[nt_mask],
+                                non_trees_label * np.ones((nt_mask.sum(), 1))])
+        save_data(pred_coord, save_format, "non_trees", plot_results_dir,
+                  use_offset=False)
     for i in np.unique(instance_preds):
+        if i <= non_trees_label:
+            continue
         pred_coord = coords[instance_preds == i]
         pred_coord = np.hstack([pred_coord, i * np.ones((len(pred_coord), 1))])
-        if i == non_trees_label:
-            save_data(pred_coord, save_format, "non_trees", plot_results_dir,
-                      use_offset=False)
-            continue
         idx = int(i) - 1
         if cluster_means_within_hull[idx] and insts_not_at_edge[idx]:
             save_data(pred_coord, save_format, str(int(i)),
@@ -78,6 +84,15 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
                            params=None, state=None, logger=None):
     """Run the full segmentation pipeline; returns a result summary dict."""
     t_start = time.time()
+    stage_seconds = {}
+    _last = [t_start]
+
+    def _stage(name):
+        now = time.time()
+        stage_seconds[name] = round(now - _last[0], 2)
+        _last[0] = now
+        logger.info(f"stage[{name}]: {stage_seconds[name]:.2f}s")
+
     plot_name = osp.basename(config.forest_path)[:-4]
     base_dir = osp.dirname(osp.dirname(config.forest_path))
     documentation_dir = osp.join(base_dir, "documentation")
@@ -101,6 +116,7 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
     centered_path = osp.join(osp.dirname(config.forest_path), plot_name + "_centered.npz")
     np.savez_compressed(centered_path, points=(xyz - xyz_mean).astype(np.float32))
     config.forest_path = centered_path
+    _stage("load_center")
 
     # tiles: streaming mode (default) slices tiles in memory from the sorted
     # voxelized plot; npz mode writes them to disk like the reference
@@ -112,6 +128,7 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
         vox_path, feat_path = prepare_voxelized_features(
             config.sample_generation, config.forest_path, logger,
             config.save_cfg.return_type)
+        _stage("voxelize_features")
     elif config.tile_generation:
         logger.info("#################### generating tiles ####################")
         generate_tiles(config.sample_generation, config.forest_path, logger,
@@ -148,9 +165,17 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
                             training=False)
     compute_dtype = jnp.bfloat16 if config.get("fp16") else jnp.float32
     voxel_capacity = int(config.get("voxel_capacity", 1 << 20))
+    mesh = None
+    if config.get("dist") and len(jax.devices()) > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+    model_timings = {}
     pointwise = get_pointwise_preds(model, params, state, loader,
                                     voxel_capacity=voxel_capacity,
-                                    compute_dtype=compute_dtype, logger=logger)
+                                    compute_dtype=compute_dtype, logger=logger,
+                                    timings=model_timings, mesh=mesh)
+    _stage("inference")
     (semantic_prediction_logits, semantic_labels, offset_predictions,
      offset_labels, coords, instance_labels, backbone_feats, input_feats) = pointwise
 
@@ -160,6 +185,7 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
      offset_labels, instance_labels, backbone_feats, input_feats) = ensemble_named(
         coords, semantic_prediction_logits, semantic_labels, offset_predictions,
         offset_labels, instance_labels, backbone_feats, input_feats)
+    _stage("ensemble")
 
     # hull for outer removal
     hull = None
@@ -177,6 +203,7 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
         input_feats[:, -1], TREE_CLASS_IN_DATASET, NON_TREES_LABEL_IN_GROUPING,
         NOT_ASSIGNED_LABEL_IN_GROUPING, START_NUM_PREDS)
     instance_preds_initial = np.copy(instance_preds)
+    _stage("cluster")
 
     # assign remaining tree points by 5-NN on shifted coords
     tree_mask = instance_preds != NON_TREES_LABEL_IN_GROUPING
@@ -184,6 +211,7 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
         instance_preds[tree_mask] = assign_remaining_points_nearest_neighbor(
             (coords + offset_predictions)[tree_mask], instance_preds[tree_mask],
             NOT_ASSIGNED_LABEL_IN_GROUPING)
+    _stage("assign_remaining")
 
     # save pointwise results
     if config.save_cfg.save_pointwise:
@@ -218,19 +246,24 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
         if nt.any():
             instance_preds[nt], _ = make_labels_consecutive(instance_preds[nt], start_num=1)
 
-    # edge-tree categorization for treewise saving
+    # edge-tree categorization for treewise saving.  Tree instances are the
+    # labels > NON_TREES_LABEL: NOT_ASSIGNED (-1) points can persist when
+    # clustering finds nothing to anchor the 5-NN assignment (degenerate
+    # models) and must not index the per-tree tables.
     cluster_means_within_hull = insts_not_at_edge = None
     if config.save_cfg.save_treewise:
-        nt = instance_preds != NON_TREES_LABEL_IN_GROUPING
-        cluster_means = get_cluster_means(
+        nt = instance_preds > NON_TREES_LABEL_IN_GROUPING
+        n_insts = int(instance_preds.max()) if nt.any() else 0
+        cluster_means = (get_cluster_means(
             (coords + offset_predictions)[nt], instance_preds[nt])
+            if nt.any() else np.zeros((0, 3)))
         hull_full = HullRaster(coords[:, :2], alpha=config.shape_cfg.alpha)
         cluster_means_within_hull = hull_full.contains(cluster_means[:, :2])
         at_edge_small = hull_full.within_boundary_buffer(
             coords[:, :2], config.shape_cfg.buffer_size_to_determine_edge_trees)
         preds_at_edge = np.unique(instance_preds[at_edge_small])
-        preds_at_edge = preds_at_edge[preds_at_edge != NON_TREES_LABEL_IN_GROUPING]
-        insts_not_at_edge = np.ones(len(cluster_means_within_hull), bool)
+        preds_at_edge = preds_at_edge[preds_at_edge > NON_TREES_LABEL_IN_GROUPING]
+        insts_not_at_edge = np.ones(n_insts, bool)
         insts_not_at_edge[preds_at_edge - 1] = False
 
     # propagate predictions to the requested cloud
@@ -270,6 +303,7 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
             coords, instance_preds, coords_to_return[not_yet_propagated], 5)
 
     coords_to_return = coords_to_return.astype(np.float64) + xyz_mean
+    _stage("propagate")
 
     # save
     logger.info(f"{plot_name}: #################### Saving ####################")
@@ -284,6 +318,7 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
         save_treewise(coords_to_return, np.asarray(preds_to_return),
                       cluster_means_within_hull, insts_not_at_edge, "las", trees_dir)
 
+    _stage("save")
     elapsed = time.time() - t_start
     n_points = len(coords_to_return)
     n_trees = len(np.unique(preds_to_return)) - 1
@@ -294,5 +329,7 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
         "seconds": elapsed,
         "mpts_per_sec": n_points / max(elapsed, 1e-9) / 1e6,
         "results_dir": results_dir,
+        "stage_seconds": stage_seconds,
+        "model_timings": model_timings,
         "output_path": osp.join(full_dir, f"{plot_name}.{config.save_cfg.save_formats[0]}"),
     }

@@ -74,9 +74,8 @@ class SampleGenerator:
         self.save_dir_meta = os.path.join(save_dir, "json")
         os.makedirs(self.save_dir_data, exist_ok=True)
         os.makedirs(self.save_dir_meta, exist_ok=True)
-        # denoising knobs are accepted for config parity; the reference ships
-        # them disabled (sample_generation.yaml:11-15) and warns they are
-        # error-prone, so we do not reimplement SOR/radius filters here.
+        # crop denoising (reference data_preparation.py:280-287, 589-615);
+        # applied in save() when enabled — off by default
         self.n_neigh_sor = n_neigh_sor
         self.multiplier_sor = multiplier_sor
         self.rad = rad
@@ -258,6 +257,18 @@ class SampleGenerator:
             rot = rel @ np.array([[c, s], [-s, c]]).T
             inside = np.max(np.abs(rot), axis=1) <= half
             crop = np.hstack([rot[inside], view[inside, 2:]]).astype(np.float32)
+            if len(crop) == 0:
+                continue
+
+            # denoise (reference data_preparation.py:280-287)
+            if self.n_neigh_sor is not None and self.multiplier_sor is not None:
+                from ..ops.filters import sor_filter
+
+                crop = crop[sor_filter(crop, self.n_neigh_sor, self.multiplier_sor)]
+            if self.rad is not None and self.npoints_rad is not None and len(crop):
+                from ..ops.filters import rad_filter
+
+                crop = crop[rad_filter(crop, self.rad, self.npoints_rad)]
             if len(crop) == 0:
                 continue
 

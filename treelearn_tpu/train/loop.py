@@ -102,6 +102,8 @@ def make_train_step(model, optimizer, *, batch_size: int, voxel_capacity: int,
                 training=True, compute_dtype=compute_dtype,
             )
             loss, loss_dict = loss_from_output(output, batch)
+            # reserved key: host-side overflow guard, popped before logging
+            loss_dict["_n_voxels_per_level"] = output["n_voxels_per_level"]
             return loss, (new_state, loss_dict)
 
         (loss, (new_state, loss_dict)), grads = jax.value_and_grad(

@@ -10,21 +10,41 @@ from __future__ import annotations
 import numpy as np
 
 
-def plot_evaluation_results_segments(ax, values, fontsize, measure,
-                                     y_range=(0.6, 1), y_step=10,
-                                     color="#ff7f0e", x_label="segment"):
-    """Line plot of a per-partition metric (10 radial or vertical segments)."""
-    y_pos = np.arange(len(values))
-    ax.spines.right.set_visible(False)
-    ax.spines.top.set_visible(False)
-    ax.set_xticks(y_pos, np.arange(1, len(values) + 1))
-    ax.set_yticks(np.arange(y_range[0], y_range[1] + 0.1, y_step))
-    ax.set_xlabel(x_label, fontsize=fontsize)
-    ax.set_ylabel(measure, fontsize=fontsize)
-    ax.set_ylim(y_range)
-    ax.plot(values, color=color)
-    ax.tick_params(axis="both", which="major", labelsize=fontsize)
+def plot_evaluation_results_segments(ax, values, fontsize=12, measure="IoU",
+                                     y_range=(0.6, 1.0), y_step=10,
+                                     color=None, x_label="segment"):
+    """Line plot of one partition metric over its 10 radial/vertical segments
+    (the figure style of the reference's evaluation notebook)."""
+    values = np.asarray(values, float)
+    segments = 1 + np.arange(len(values))
+    style = {"color": color} if color else {}
+    ax.plot(segments, values, marker="o", markersize=3, **style)
+    ax.set(xlabel=x_label, ylabel=measure, ylim=y_range, xticks=segments)
+    ax.xaxis.label.set_fontsize(fontsize)
+    ax.yaxis.label.set_fontsize(fontsize)
+    ax.tick_params(labelsize=fontsize)
+    for side in ("top", "right"):
+        ax.spines[side].set_visible(False)
+    ax.grid(True, axis="y", alpha=0.25, linewidth=0.5)
     return ax
+
+
+def plot_partition_metrics(results: dict, fontsize=12, y_range=(0.6, 1.0)):
+    """Grid figure of every partition metric in a results mapping
+    {name: sequence of per-segment values}; returns the matplotlib figure."""
+    import matplotlib.pyplot as plt
+
+    n = len(results)
+    ncols = min(n, 3)
+    nrows = (n + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 3 * nrows),
+                             squeeze=False)
+    for ax, (name, vals) in zip(axes.ravel(), results.items()):
+        plot_evaluation_results_segments(ax, vals, fontsize, name, y_range)
+    for ax in axes.ravel()[n:]:
+        ax.set_visible(False)
+    fig.tight_layout()
+    return fig
 
 
 def juxtapose(cloud1, cloud2, label1, label2, color1="blue", color2="red",
