@@ -1,0 +1,114 @@
+"""On-device HDBSCAN vs the sklearn oracle.
+
+The device implementation (ops/hdbscan.py) approximates the continuous
+mutual-reachability dendrogram with a geometric eps ladder, so comparisons
+are ARI / cluster-count based, not exact-label based — matching how the
+reference consumes HDBSCAN (instance grouping of well-separated tree bases,
+util/pipeline.py:184-191).
+"""
+
+import numpy as np
+import pytest
+
+from treelearn_tpu.ops.hdbscan import hdbscan_cluster, kth_neighbor_d2
+
+
+def _ari(a, b):
+    from sklearn.metrics import adjusted_rand_score
+
+    return adjusted_rand_score(a, b)
+
+
+def _blobs(n_blobs, n_per, spread, extent, seed=0, noise=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(0, extent, (n_blobs, 2))
+    pts = np.concatenate(
+        [c + rng.normal(0, spread, (n_per, 2)) for c in centers])
+    if noise:
+        pts = np.concatenate([pts, rng.uniform(0, extent, (noise, 2))])
+    return pts.astype(np.float32)
+
+
+def test_kth_neighbor_d2_matches_brute():
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(0, 10, (500, 2)).astype(np.float32)
+    d2 = kth_neighbor_d2(pts, k=8)
+    # brute oracle (self-inclusive); grid sampling may overestimate a few
+    # dense-cell entries and f32 vs f64 accumulate differently
+    full = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    oracle = np.sort(full, axis=1)[:, 7]
+    rel = np.abs(d2 - oracle) / np.maximum(oracle, 1e-9)
+    assert np.median(rel) < 1e-4
+    assert (rel < 0.05).mean() > 0.99
+    assert (d2 >= oracle - 1e-4).all()  # sampling only ever overestimates
+
+
+def test_hdbscan_separated_blobs():
+    pts = _blobs(6, 200, 0.3, 60, seed=2, noise=100)
+    labels = hdbscan_cluster(pts, min_cluster_size=50)
+    from sklearn.cluster import HDBSCAN
+
+    oracle = HDBSCAN(min_cluster_size=50).fit(pts).labels_
+    n_ours = len(np.unique(labels[labels > 0]))
+    n_oracle = len(np.unique(oracle[oracle >= 0]))
+    assert n_ours == n_oracle == 6
+    assert _ari(labels, oracle) > 0.95
+
+
+def test_hdbscan_varying_density():
+    # two tight blobs + one loose blob: density-adaptive grouping (the case
+    # plain DBSCAN with one eps cannot do)
+    rng = np.random.default_rng(3)
+    pts = np.concatenate([
+        rng.normal((0, 0), 0.2, (300, 2)),
+        rng.normal((4, 0), 0.2, (300, 2)),
+        rng.normal((30, 30), 3.0, (300, 2)),
+    ]).astype(np.float32)
+    labels = hdbscan_cluster(pts, min_cluster_size=60)
+    from sklearn.cluster import HDBSCAN
+
+    oracle = HDBSCAN(min_cluster_size=60).fit(pts).labels_
+    assert _ari(labels, oracle) > 0.9
+    assert len(np.unique(labels[labels > 0])) == 3
+
+
+def test_hdbscan_tree_bases_layout():
+    # offset-shifted tree bases: dense clumps on a jittered grid + ground noise
+    rng = np.random.default_rng(4)
+    bases = []
+    for i in range(4):
+        for j in range(4):
+            c = np.array([10.0 * i, 10.0 * j]) + rng.uniform(-2, 2, 2)
+            bases.append(c + rng.normal(0, 0.25, (400, 2)))
+    pts = np.concatenate(bases + [rng.uniform(-5, 35, (500, 2))]).astype(np.float32)
+    labels = hdbscan_cluster(pts, min_cluster_size=100)
+    from sklearn.cluster import HDBSCAN
+
+    oracle = HDBSCAN(min_cluster_size=100).fit(pts).labels_
+    n_ours = len(np.unique(labels[labels > 0]))
+    n_oracle = len(np.unique(oracle[oracle >= 0]))
+    assert n_ours == n_oracle == 16
+    assert _ari(labels, oracle) > 0.95
+
+
+def test_hdbscan_all_noise_when_too_small():
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(0, 100, (60, 2)).astype(np.float32)
+    labels = hdbscan_cluster(pts, min_cluster_size=100)
+    assert (labels == -1).all()
+
+
+def test_hdbscan_empty():
+    assert len(hdbscan_cluster(np.zeros((0, 2), np.float32), 50)) == 0
+
+
+def test_group_hdbscan_contract():
+    from treelearn_tpu.pipeline.instances import group_hdbscan
+
+    pts = _blobs(3, 300, 0.3, 40, seed=6, noise=50)
+    labels = group_hdbscan(pts, npoint_thr=100, not_assigned_label=-1,
+                           start_num=1)
+    tree_ids = np.unique(labels[labels >= 1])
+    assert len(tree_ids) == 3
+    assert set(tree_ids) == {1, 2, 3}
+    assert (labels[labels < 1] == -1).all()

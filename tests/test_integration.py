@@ -46,7 +46,9 @@ def _pipeline_config(forest_path, voxel_capacity=1 << 14):
 
 
 @pytest.mark.slow
-def test_full_pipeline_on_synthetic_forest(tmp_path):
+@pytest.mark.parametrize("whole_plot", [True, False],
+                         ids=["whole_plot", "tiled"])
+def test_full_pipeline_on_synthetic_forest(tmp_path, whole_plot):
     from treelearn_tpu.io import load_data
     from treelearn_tpu.pipeline import run_treelearn_pipeline
 
@@ -59,6 +61,7 @@ def test_full_pipeline_on_synthetic_forest(tmp_path):
              labels=data[:, 3])
 
     config = _pipeline_config(forest_path)
+    config.whole_plot = whole_plot
     result = run_treelearn_pipeline(config)
 
     assert osp.exists(result["output_path"])

@@ -175,11 +175,23 @@ def main():
     eval_step = make_eval_step(model, batch_size=config.dataloader.test.batch_size,
                                voxel_capacity=voxel_capacity)
 
+    # profiling hook (SURVEY §5.1): TL_PROFILE=<dir> traces one epoch
+    # (TL_PROFILE_EPOCH, default = the first trained epoch) with jax.profiler
+    profile_dir = os.environ.get("TL_PROFILE")
+    profile_epoch = int(os.environ.get("TL_PROFILE_EPOCH", start_epoch))
+
     logger.info("Training")
     for epoch in range(start_epoch, config.epochs + 1):
+        tracing = profile_dir and epoch == profile_epoch
+        if tracing:
+            jax.profiler.start_trace(profile_dir)
         params, state, opt_state = train_epoch(
             config, epoch, train_step, params, state, opt_state,
             train_loader, logger, writer)
+        if tracing:
+            jax.block_until_ready(params)
+            jax.profiler.stop_trace()
+            logger.info(f"profiler trace for epoch {epoch} -> {profile_dir}")
         checkpoint_save(epoch, jax.device_get(params), jax.device_get(state),
                         config.work_dir,
                         opt_state_flat=opt_state_to_flat(jax.device_get(opt_state)),

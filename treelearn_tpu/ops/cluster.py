@@ -57,9 +57,9 @@ def _pow2(x: int) -> int:
 _OFFSETS_2D = [(di, dj) for di in range(-2, 3) for dj in range(-2, 3)]
 
 
-@partial(jax.jit, static_argnames=("eps", "cell_cap", "max_rounds"))
+@partial(jax.jit, static_argnames=("cell_cap", "max_rounds"))
 def connected_components_2d(points: jnp.ndarray, valid: jnp.ndarray,
-                            eps: float, cell_cap: int = 16,
+                            eps, cell_cap: int = 16,
                             max_rounds: int = 64,
                             phase: jnp.ndarray | float = 0.0,
                             prev_labels: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -71,10 +71,14 @@ def connected_components_2d(points: jnp.ndarray, valid: jnp.ndarray,
     the multi-phase escalation in :func:`dbscan_cluster`).  ``prev_labels``
     (input order, same contract as the return value) adds the previous
     labeling's component edges so phases merge monotonically.
+
+    ``eps`` is traced (not static): one compilation serves every radius — the
+    HDBSCAN eps-ladder and the DBSCAN phase escalation reuse the same program.
     """
     n = points.shape[0]
-    cell = float(eps) / np.sqrt(2.0)
-    eps2 = jnp.float32(float(eps) ** 2)
+    eps = jnp.float32(eps)
+    cell = eps / np.sqrt(2.0).astype(np.float32)
+    eps2 = eps * eps
     keys, _ = _cell_keys(points, valid, cell)
 
     order = jnp.argsort(keys, stable=True)
@@ -263,9 +267,19 @@ def _grid_knn_once(ref_pts, ref_valid, query_pts, query_valid, cell_size,
             nbr_key = (qij[:, 0] + di) * width + (qij[:, 1] + dj)
             key_ok = query_valid & jnp.all((qij + jnp.array([di, dj])) >= 0, axis=1)
             nbr_key = jnp.where(key_ok, nbr_key, SENTINEL)
-            start = jnp.searchsorted(sorted_keys, nbr_key).astype(jnp.int32)
+            start = jnp.searchsorted(sorted_keys, nbr_key,
+                                     side="left").astype(jnp.int32)
+            end = jnp.searchsorted(sorted_keys, nbr_key,
+                                   side="right").astype(jnp.int32)
+            length = end - start
             for r in range(cell_cap):
-                idx = jnp.clip(start + r, 0, nr - 1)
+                # strided sample over the whole cell when it overflows the
+                # cap (an evenly spread subset, never just the first rows —
+                # cells can hold several distinct structures); exhaustive
+                # when the cell fits
+                offs = jnp.where(length > cell_cap,
+                                 (r * length) // cell_cap, r)
+                idx = jnp.clip(start + offs, 0, nr - 1)
                 # key_ok guard: a SENTINEL nbr_key must not "match" padding rows
                 ok = (sorted_keys[idx] == nbr_key) & key_ok
                 cand_list.append(jnp.where(ok, idx, -1))
@@ -320,9 +334,11 @@ def _brute_topk_block(ref_pts, ref_valid, query_blk, k: int, r_block: int):
 
 
 def brute_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
-              q_block: int = 4096, r_block: int = 8192) -> np.ndarray:
+              q_block: int = 4096, r_block: int = 8192,
+              return_d2: bool = False) -> np.ndarray:
     """Exact k-NN with bounded memory: blocks queries on the host, streams
-    refs on the device.  Peak device memory ~= q_block * r_block floats."""
+    refs on the device.  Peak device memory ~= q_block * r_block floats.
+    With ``return_d2`` also returns the (Q, k) squared distances."""
     nq, nr = len(query_pts), len(ref_pts)
     k_eff = min(k, nr)
     r_block = min(r_block, _pow2(max(nr, 16)))
@@ -334,19 +350,25 @@ def brute_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
     ref_j, rv_j = jnp.asarray(ref), jnp.asarray(rv)
 
     out = np.empty((nq, k), np.int64)
+    out_d2 = np.empty((nq, k), np.float32) if return_d2 else None
     q_block = min(q_block, _pow2(max(nq, 16)))
     for lo in range(0, nq, q_block):
         hi = min(lo + q_block, nq)
         blk = np.zeros((q_block, query_pts.shape[1]), np.float32)
         blk[: hi - lo] = query_pts[lo:hi]
-        idx, _ = _brute_topk_block(ref_j, rv_j, jnp.asarray(blk),
-                                   k=k_eff, r_block=r_block)
+        idx, d2 = _brute_topk_block(ref_j, rv_j, jnp.asarray(blk),
+                                    k=k_eff, r_block=r_block)
         idx = np.asarray(idx)[: hi - lo]
+        d2 = np.asarray(d2)[: hi - lo]
         if k_eff < k:  # fewer refs than k: repeat the nearest
             idx = np.concatenate(
                 [idx, np.repeat(idx[:, :1], k - k_eff, axis=1)], axis=1)
+            d2 = np.concatenate(
+                [d2, np.repeat(d2[:, :1], k - k_eff, axis=1)], axis=1)
         out[lo:hi] = idx
-    return out
+        if return_d2:
+            out_d2[lo:hi] = d2
+    return (out, out_d2) if return_d2 else out
 
 
 def grid_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,

@@ -123,8 +123,14 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, *, batch_size: int,
 
 def make_dp_inference_step(model, mesh: Mesh, *, batch_size: int,
                            voxel_capacity: int, compute_dtype=jnp.float32,
-                           axis_name: str = "dp"):
-    """Tile-parallel inference: each device forwards its own tile batch."""
+                           axis_name: str = "dp",
+                           inner_capacity: int | None = None,
+                           need_backbone: bool = True):
+    """Tile-parallel inference: each device forwards its own tile batch.
+
+    With ``inner_capacity`` the per-device outputs are compacted to the
+    inner-mask rows on device before leaving HBM (same contract as
+    make_eval_step's compaction — see train/loop.py)."""
 
     def fwd(params, state, batch):
         batch = jax.tree.map(lambda x: x[0], batch)
@@ -135,9 +141,28 @@ def make_dp_inference_step(model, mesh: Mesh, *, batch_size: int,
             batch_size=batch_size, voxel_capacity=voxel_capacity,
             training=False, compute_dtype=compute_dtype,
         )
-        return {k: output[k][None] for k in
-                ("semantic_prediction_logits", "offset_predictions",
-                 "backbone_feats", "n_voxels_per_level")}
+        if inner_capacity is None:
+            keys = ["semantic_prediction_logits", "offset_predictions",
+                    "n_voxels_per_level"]
+            if need_backbone:
+                keys.append("backbone_feats")
+            return {k: output[k][None] for k in keys}
+        keep = batch["masks_inner"] & batch["valid"]
+        order = jnp.argsort(jnp.logical_not(keep), stable=True)
+        idx = order[:inner_capacity]
+        sel = keep[idx]
+        out = {
+            "rows": jnp.where(sel, idx.astype(jnp.int32), -1),
+            "n_keep": jnp.sum(keep, dtype=jnp.int32),
+            "semantic_prediction_logits":
+                output["semantic_prediction_logits"][idx].astype(jnp.float16),
+            "offset_predictions":
+                output["offset_predictions"][idx].astype(jnp.float16),
+            "n_voxels_per_level": output["n_voxels_per_level"],
+        }
+        if need_backbone:
+            out["backbone_feats"] = output["backbone_feats"][idx].astype(jnp.float16)
+        return {k: v[None] for k, v in out.items()}
 
     sharded_fwd = jax.shard_map(
         fwd, mesh=mesh,

@@ -9,9 +9,11 @@ masked scatters.
 TPU-native structure: tile cutting + H2D transfer of batch t+1 runs on a
 background thread while the device computes batch t, and host-side harvesting
 of batch t's outputs happens after batch t+1 has been dispatched — inference
-wall-clock is max(compute, host+transfer) per batch, not the sum.  Eval steps
-are AOT-compiled per shape bucket; XLA's own cost analysis provides the FLOPs
-for the MFU report.
+wall-clock is max(compute, host+transfer) per batch, not the sum.  Predictions
+are compacted to the inner-mask points ON DEVICE (stable-sorted row gather in
+the eval step) and shipped as f16, so per-tile D2H is O(inner points), not
+O(padded capacity).  Eval steps are AOT-compiled per shape bucket; XLA's own
+cost analysis provides the FLOPs for the MFU report.
 """
 
 from __future__ import annotations
@@ -27,6 +29,15 @@ import numpy as np
 
 _SENTINEL = object()
 
+# the only batch arrays the eval step consumes; everything else stays on the
+# host (padded label arrays are megabytes per tile — never ship them)
+_MODEL_INPUT_KEYS = ("coords", "input_feats", "batch_ids", "valid",
+                     "masks_inner")
+
+
+def _pow2(x: int) -> int:
+    return 1 << int(np.ceil(np.log2(max(int(x), 1))))
+
 
 def _prefetch(loader: Iterable, depth: int = 2):
     """Run the loader (tile cutting + collate) on a background thread and
@@ -39,9 +50,8 @@ def _prefetch(loader: Iterable, depth: int = 2):
                 if isinstance(batch, tuple):  # pre-paired (device part, host part)
                     q.put(batch)
                 else:
-                    jbatch = {k: jax.device_put(np.asarray(v))
-                              for k, v in batch.items()
-                              if isinstance(v, np.ndarray)}
+                    jbatch = {k: jax.device_put(np.asarray(batch[k]))
+                              for k in _MODEL_INPUT_KEYS}
                     q.put((jbatch, batch))
             q.put(_SENTINEL)
         except BaseException as e:  # surface loader errors in the main thread
@@ -70,7 +80,7 @@ def _group_for_dp(dataloader: Iterable, n_dev: int):
             dummy["valid"] = np.zeros_like(buf[0]["valid"])
             buf.append(dummy)
         stacked = {k: np.stack([b[k] for b in buf])
-                   for k in buf[0] if isinstance(buf[0][k], np.ndarray)}
+                   for k in _MODEL_INPUT_KEYS}
         return stacked, list(buf)
 
     for batch in dataloader:
@@ -85,9 +95,21 @@ def _group_for_dp(dataloader: Iterable, n_dev: int):
         yield flush(buf)
 
 
+def _inner_count(batch) -> int:
+    return int((np.asarray(batch["masks_inner"])
+                & np.asarray(batch["valid"])).sum())
+
+
+def _inner_cap_bucket(count: int, n: int) -> int:
+    """Static inner-compaction capacity: at least N/8 (so most tiles share
+    one compiled program), grown in power-of-two steps for dense tiles."""
+    return min(_pow2(max(count, n // 8, 1)), n)
+
+
 def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int,
                         compute_dtype=jnp.float32, logger=None,
-                        timings: Optional[dict] = None, mesh=None):
+                        timings: Optional[dict] = None, mesh=None,
+                        need_backbone: bool = True):
     """Returns numpy arrays (semantic_logits, semantic_labels, offset_preds,
     offset_labels, coords, instance_labels, backbone_feats, input_feats) over
     all inner-mask points of all tiles.
@@ -97,6 +119,9 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
 
     With ``mesh`` (a jax Mesh) tile batches are sharded over the mesh's
     devices and forwarded in parallel (parallel/mesh.py).
+
+    ``need_backbone=False`` drops the 32-channel backbone features from the
+    step outputs entirely (only the pointwise-results dump consumes them).
     """
     from ..train.loop import make_eval_step
 
@@ -113,21 +138,32 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
 
     from ..model.network import check_capacity
 
-    def harvest(output, batch):
+    def harvest(output, batch, inner_cap):
         check_capacity(output, voxel_capacity, model.num_blocks,
                        context="inference batch: ")
-        keep = np.asarray(batch["masks_inner"] & batch["valid"])
-        coords = np.asarray(batch["coords"]) + np.asarray(batch["centers"])
+        n_keep = int(np.asarray(output["n_keep"]))
+        if n_keep > inner_cap:  # unreachable: cap sized from the same masks
+            raise RuntimeError(
+                f"inner compaction overflow: {n_keep} > {inner_cap}")
+        rows = np.asarray(output["rows"])
+        sel = rows[rows >= 0]
+        got = rows >= 0
+        coords = np.asarray(batch["coords"])[sel] + np.asarray(batch["centers"])[sel]
         outs["semantic_prediction_logits"].append(
-            np.asarray(output["semantic_prediction_logits"])[keep])
+            np.asarray(output["semantic_prediction_logits"],
+                       np.float32)[got])
         outs["offset_predictions"].append(
-            np.asarray(output["offset_predictions"])[keep])
-        outs["backbone_feats"].append(np.asarray(output["backbone_feats"])[keep])
-        outs["semantic_labels"].append(np.asarray(batch["semantic_labels"])[keep])
-        outs["offset_labels"].append(np.asarray(batch["offset_labels"])[keep])
-        outs["coords"].append(coords[keep])
-        outs["instance_labels"].append(np.asarray(batch["instance_labels"])[keep])
-        outs["input_feats"].append(np.asarray(batch["input_feats"])[keep])
+            np.asarray(output["offset_predictions"], np.float32)[got])
+        if need_backbone:
+            outs["backbone_feats"].append(
+                np.asarray(output["backbone_feats"], np.float32)[got])
+        else:
+            outs["backbone_feats"].append(np.zeros((len(sel), 0), np.float32))
+        outs["semantic_labels"].append(np.asarray(batch["semantic_labels"])[sel])
+        outs["offset_labels"].append(np.asarray(batch["offset_labels"])[sel])
+        outs["coords"].append(coords)
+        outs["instance_labels"].append(np.asarray(batch["instance_labels"])[sel])
+        outs["input_feats"].append(np.asarray(batch["input_feats"])[sel])
 
     if mesh is not None:
         from ..parallel.mesh import make_dp_inference_step
@@ -136,49 +172,59 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         if logger:
             logger.info(f"data-parallel inference over {n_dev} devices")
         dp_cache: Dict[tuple, callable] = {}
-        pending = None  # (output_device, [host shard batches])
-        t_dev0 = time.time()
+        pending = None  # (output_device, [host shard batches], inner_cap)
         for stacked, shards in _prefetch(_group_for_dp(dataloader, n_dev)):
-            key = (shards[0]["coords"].shape[0], shards[0]["batch_size"])
+            n = shards[0]["coords"].shape[0]
+            inner_cap = _inner_cap_bucket(
+                max(_inner_count(s) for s in shards), n)
+            key = (n, shards[0]["batch_size"], inner_cap)
             if key not in dp_cache:
                 if logger:
                     logger.info(f"compiling DP eval step for bucket {key}")
                 t0 = time.time()
                 dp_cache[key] = make_dp_inference_step(
                     model, mesh, batch_size=shards[0]["batch_size"],
-                    voxel_capacity=voxel_capacity, compute_dtype=compute_dtype)
+                    voxel_capacity=voxel_capacity, compute_dtype=compute_dtype,
+                    inner_capacity=inner_cap, need_backbone=need_backbone)
                 tm["compile_s"] += time.time() - t0
+            t0 = time.time()
             output = dp_cache[key](params, state, stacked)
             tm["steps"] += 1
             tm["points"] += sum(int(np.asarray(s["valid"]).sum()) for s in shards)
             if pending is not None:
-                out_prev, shards_prev = pending
+                out_prev, shards_prev, cap_prev = pending
                 out_np = {k: np.asarray(v) for k, v in out_prev.items()}
                 for d, shard in enumerate(shards_prev):
-                    harvest({k: v[d] for k, v in out_np.items()}, shard)
-            pending = (output, shards)
+                    harvest({k: v[d] for k, v in out_np.items()}, shard,
+                            cap_prev)
+            pending = (output, shards, inner_cap)
+            tm["device_s"] += time.time() - t0
         if pending is not None:
-            out_prev, shards_prev = pending
+            t0 = time.time()
+            out_prev, shards_prev, cap_prev = pending
             out_np = {k: np.asarray(v) for k, v in out_prev.items()}
             for d, shard in enumerate(shards_prev):
-                harvest({k: v[d] for k, v in out_np.items()}, shard)
-        tm["device_s"] = time.time() - t_dev0
+                harvest({k: v[d] for k, v in out_np.items()}, shard, cap_prev)
+            tm["device_s"] += time.time() - t0
         cat = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
         return (cat["semantic_prediction_logits"], cat["semantic_labels"],
                 cat["offset_predictions"], cat["offset_labels"], cat["coords"],
                 cat["instance_labels"], cat["backbone_feats"], cat["input_feats"])
 
-    pending = None  # (output_device, host_batch)
-    t_dev0 = None
+    pending = None  # (output_device, host_batch, inner_cap)
     for jbatch, batch in _prefetch(dataloader):
-        key = (batch["coords"].shape[0], batch["batch_size"])
+        n = batch["coords"].shape[0]
+        inner_cap = _inner_cap_bucket(_inner_count(batch), n)
+        key = (n, batch["batch_size"], inner_cap)
         if key not in step_cache:
             if logger:
                 logger.info(f"compiling eval step for bucket {key}")
             t0 = time.time()
             step = make_eval_step(model, batch_size=batch["batch_size"],
                                   voxel_capacity=voxel_capacity,
-                                  compute_dtype=compute_dtype)
+                                  compute_dtype=compute_dtype,
+                                  inner_capacity=inner_cap,
+                                  need_backbone=need_backbone)
             compiled = step.lower(params, state, jbatch).compile()
             dt = time.time() - t0
             tm["compile_s"] += dt
@@ -194,18 +240,18 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
             step_cache[key] = compiled
         eval_step = step_cache[key]
 
-        if t_dev0 is None:
-            t_dev0 = time.time()
+        t0 = time.time()
         output = eval_step(params, state, jbatch)  # async dispatch
         tm["steps"] += 1
         tm["points"] += int(np.asarray(batch["valid"]).sum())
         if pending is not None:
             harvest(*pending)  # blocks on t-1 while the device runs t
-        pending = (output, batch)
+        pending = (output, batch, inner_cap)
+        tm["device_s"] += time.time() - t0  # dispatch + overlapped harvest
     if pending is not None:
+        t0 = time.time()
         harvest(*pending)
-    if t_dev0 is not None:
-        tm["device_s"] = time.time() - t_dev0
+        tm["device_s"] += time.time() - t0
 
     cat = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
     return (cat["semantic_prediction_logits"], cat["semantic_labels"],

@@ -33,14 +33,17 @@ def make_labels_consecutive(labels: np.ndarray, start_num: int):
 
 def group_hdbscan(cluster_coords: np.ndarray, npoint_thr: int,
                   not_assigned_label: int, start_num: int) -> np.ndarray:
-    """HDBSCAN mode via sklearn (host).  Same tau_min filtering as the
-    reference (util/pipeline.py:184-191)."""
-    from sklearn.cluster import HDBSCAN
+    """HDBSCAN mode on device (ops/hdbscan.py: core distances + eps-ladder
+    components + condensed-tree extraction).  Same single-hyperparameter
+    contract and tau_min filtering as the reference (util/pipeline.py:184-191);
+    sklearn HDBSCAN is the oracle in tests/test_hdbscan.py."""
+    from ..ops.hdbscan import hdbscan_cluster
 
-    clustering = HDBSCAN(min_cluster_size=npoint_thr).fit(cluster_coords)
-    labels = clustering.labels_.copy()
+    labels = hdbscan_cluster(cluster_coords, min_cluster_size=npoint_thr,
+                             not_assigned_label=not_assigned_label,
+                             start_num=start_num)
     uniq, counts = np.unique(labels, return_counts=True)
-    valid = uniq[(counts >= npoint_thr) & (uniq != -1)]
+    valid = uniq[(counts >= npoint_thr) & (uniq != not_assigned_label)]
     ind_valid = np.isin(labels, valid)
     labels[ind_valid], _ = make_labels_consecutive(labels[ind_valid], start_num)
     labels[~ind_valid] = not_assigned_label

@@ -112,9 +112,8 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
     data = load_data(config.forest_path)
     xyz = data[:, :3].astype(np.float64)
     xyz_mean = np.mean(xyz, 0)
-    labels_in = data[:, 3] if data.shape[1] > 3 else None
     centered_path = osp.join(osp.dirname(config.forest_path), plot_name + "_centered.npz")
-    np.savez_compressed(centered_path, points=(xyz - xyz_mean).astype(np.float32))
+    np.savez(centered_path, points=(xyz - xyz_mean).astype(np.float32))
     config.forest_path = centered_path
     _stage("load_center")
 
@@ -149,32 +148,63 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
 
         vox = np.load(vox_path)
         feats_arr = np.load(feat_path)["features"]
+        vox_pts = vox["points"].astype(np.float64)
         stream = TileStream(
-            vox["points"].astype(np.float64), vox["labels"],
+            vox_pts, vox["labels"],
             feats_arr, config.sample_generation.inner_edge,
             config.sample_generation.outer_edge, config.sample_generation.stride)
-        # one shape bucket = one XLA compilation; dead-tile skipping in the
-        # banded kernel makes the padding nearly free
-        loader = stream.batches(
-            batch_size=config.dataloader.batch_size,
-            inner_square_edge_length=config.dataset_test.inner_square_edge_length,
-            min_bucket=int(config.get("voxel_capacity", 1 << 20)))
+        # Whole-plot single-pass inference (TPU-native; see TileStream
+        # .whole_plot_batches): on when the plot fits the device, replacing
+        # the reference's overlapping 35 m context windows and their ~77x
+        # voxel recompute.  'auto' (default) switches on the voxel count;
+        # set whole_plot: false for exact tile-decomposition parity.
+        whole_plot = config.get("whole_plot", "auto")
+        wp_max = int(config.get("whole_plot_max_voxels", 1 << 21))
+        use_wp = (whole_plot is True
+                  or (whole_plot == "auto" and len(vox_pts) <= wp_max))
+        if use_wp:
+            def _pow2(x):
+                return 1 << int(np.ceil(np.log2(max(int(x), 1))))
+
+            vs = float(config.model.get("voxel_size", 0.1))
+            ext = vox_pts.max(axis=0) - vox_pts.min(axis=0)
+            ss = [int(np.ceil(e / vs)) + 2 for e in ext]
+            logger.info(f"whole-plot inference: {len(vox_pts)} voxels, "
+                        f"spatial_shape {ss}")
+            model_cfg = dict(config.model)
+            model_cfg["spatial_shape"] = ss
+            model = TreeLearn(**model_cfg)
+            voxel_capacity_run = _pow2(max(len(vox_pts),
+                                           int(config.get("voxel_capacity", 1 << 14))))
+            loader = stream.whole_plot_batches(min_bucket=voxel_capacity_run)
+        else:
+            # one shape bucket = one XLA compilation; dead-tile skipping in
+            # the banded kernel makes the padding nearly free
+            loader = stream.batches(
+                batch_size=config.dataloader.batch_size,
+                inner_square_edge_length=config.dataset_test.inner_square_edge_length,
+                min_bucket=int(config.get("voxel_capacity", 1 << 20)))
     else:
         dataset = TreeDataset(**config.dataset_test, logger=logger)
         loader = TreeLoader(dataset, batch_size=config.dataloader.batch_size,
                             training=False)
     compute_dtype = jnp.bfloat16 if config.get("fp16") else jnp.float32
     voxel_capacity = int(config.get("voxel_capacity", 1 << 20))
+    if streaming and use_wp:
+        voxel_capacity = voxel_capacity_run
     mesh = None
     if config.get("dist") and len(jax.devices()) > 1:
         from ..parallel import make_mesh
 
         mesh = make_mesh()
     model_timings = {}
+    # the 32-ch backbone features are only consumed by the pointwise-results
+    # dump; skipping their D2H transfer dominates tunneled-device wall time
     pointwise = get_pointwise_preds(model, params, state, loader,
                                     voxel_capacity=voxel_capacity,
                                     compute_dtype=compute_dtype, logger=logger,
-                                    timings=model_timings, mesh=mesh)
+                                    timings=model_timings, mesh=mesh,
+                                    need_backbone=bool(config.save_cfg.save_pointwise))
     _stage("inference")
     (semantic_prediction_logits, semantic_labels, offset_predictions,
      offset_labels, coords, instance_labels, backbone_feats, input_feats) = pointwise

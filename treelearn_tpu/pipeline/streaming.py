@@ -107,6 +107,41 @@ class TileStream:
             "center": np.array([cx, cy, 0.0]),
         }
 
+    def whole_plot_batches(self, min_bucket: int = 1 << 14
+                           ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield ONE padded batch holding the entire plot.
+
+        TPU-native alternative to the overlapping-tile decomposition: the
+        U-Net is fully convolutional (submanifold convs are translation
+        equivariant), so the reference's 35 m windows exist only because of
+        GPU memory — on a chip that fits the whole plot, a single pass
+        removes the ~(outer_edge / (inner_edge * stride))^2 (≈77x at default
+        geometry) recompute of every voxel through overlapping context
+        windows, and gives every point full receptive-field context instead
+        of a truncated window.  Downstream stages are unchanged: every point
+        is inner, centers are zero (the plot is pre-centered by the
+        pipeline).
+        """
+        data = self.sorted_data
+        xyz = data[:, :3].astype(np.float64)
+        instance_label = data[:, 3].astype(np.int64)
+        semantic_label = semantic_from_instance(instance_label)
+        offset_label, mask_valid = get_offset_labels(xyz, instance_label,
+                                                     semantic_label)
+        mask_not_ignore = instance_label != -1
+        ones = np.ones(len(xyz), bool)
+        yield collate_padded([{
+            "coords": xyz.astype(np.float32),
+            "input_feats": data[:, 4:].astype(np.float32),
+            "instance_labels": instance_label,
+            "semantic_labels": semantic_label.astype(np.int64),
+            "offset_labels": offset_label,
+            "centers": np.zeros_like(xyz, dtype=np.float32),
+            "masks_inner": ones,
+            "masks_off": (mask_not_ignore & (semantic_label != 1) & mask_valid),
+            "masks_sem": mask_not_ignore,
+        }], min_bucket=min_bucket)
+
     def batches(self, batch_size: int = 1, inner_square_edge_length: float = None,
                 min_bucket: int = 1 << 14) -> Iterator[Dict[str, np.ndarray]]:
         """Yield padded batches in the TreeDataset sample format (no disk)."""

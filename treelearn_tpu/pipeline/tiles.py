@@ -314,9 +314,9 @@ def prepare_voxelized_features(cfg, forest_path: str, logger,
             data[:, :3], cfg.voxel_size)
         labels = data[first_idx, 3]
         down = np.round(down.astype(np.float32), 2)
-        np.savez_compressed(save_path_vox, points=down, labels=labels)
+        np.savez(save_path_vox, points=down, labels=labels)
         if return_type == "original":
-            np.savez_compressed(save_path_trace, inverse=inverse.astype(np.int64))
+            np.savez(save_path_trace, inverse=inverse.astype(np.int64))
 
     logger.info("calculating features...")
     save_path_features = osp.join(features_dir, f"{plot_name}.npz")
@@ -327,7 +327,7 @@ def prepare_voxelized_features(cfg, forest_path: str, logger,
         fn = features_fn or compute_verticality
         features = fn(data[:, :3].astype(np.float32),
                       search_radius=cfg.search_radius_features)
-        np.savez_compressed(save_path_features, features=features)
+        np.savez(save_path_features, features=features)
     return save_path_vox, save_path_features
 
 

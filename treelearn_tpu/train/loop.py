@@ -116,7 +116,21 @@ def make_train_step(model, optimizer, *, batch_size: int, voxel_capacity: int,
 
 
 def make_eval_step(model, *, batch_size: int, voxel_capacity: int,
-                   compute_dtype=jnp.float32):
+                   compute_dtype=jnp.float32, inner_capacity: Optional[int] = None,
+                   need_backbone: bool = True):
+    """Jitted forward step over one padded tile batch.
+
+    With ``inner_capacity`` set, the step compacts its outputs to the
+    inner-mask points on device before they ever leave HBM: the batch must
+    then contain ``masks_inner``, and the step returns ``rows`` (original row
+    indices of the kept points, -1 padded, stable order) plus f16 predictions
+    gathered to those rows.  Per-tile D2H drops from O(padded capacity) to
+    O(inner points) — on a tunneled device that transfer otherwise dominates
+    the whole inference stage.  The caller sizes ``inner_capacity`` from the
+    host-side mask counts, so overflow is impossible by construction (the
+    ``n_keep`` output is an assertable witness).
+    """
+
     @jax.jit
     def eval_step(params, state, batch):
         output, _ = model.apply(
@@ -126,6 +140,27 @@ def make_eval_step(model, *, batch_size: int, voxel_capacity: int,
             batch_size=batch_size, voxel_capacity=voxel_capacity,
             training=False, compute_dtype=compute_dtype,
         )
-        return output
+        if inner_capacity is None:
+            if not need_backbone:
+                output = {k: v for k, v in output.items()
+                          if k != "backbone_feats"}
+            return output
+        keep = batch["masks_inner"] & batch["valid"]
+        order = jnp.argsort(jnp.logical_not(keep), stable=True)
+        idx = order[:inner_capacity]
+        sel = keep[idx]
+        out = {
+            "rows": jnp.where(sel, idx.astype(jnp.int32), -1),
+            "n_keep": jnp.sum(keep, dtype=jnp.int32),
+            "semantic_prediction_logits":
+                output["semantic_prediction_logits"][idx].astype(jnp.float16),
+            "offset_predictions":
+                output["offset_predictions"][idx].astype(jnp.float16),
+            "n_voxels": output["n_voxels"],
+            "n_voxels_per_level": output["n_voxels_per_level"],
+        }
+        if need_backbone:
+            out["backbone_feats"] = output["backbone_feats"][idx].astype(jnp.float16)
+        return out
 
     return eval_step
