@@ -116,7 +116,7 @@ def main():
     logger, writer = init_train_logger(config, args)
 
     model = TreeLearn(**config.model)
-    params, state = model.init(jax.random.PRNGKey(config.get("seed", 0)))
+    params, state = model.init(int(config.get("seed", 0)))
 
     n_shards = 1
     mesh = None

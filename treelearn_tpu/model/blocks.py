@@ -25,6 +25,7 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.sparse import (
     DownsampleRulebook,
@@ -73,20 +74,36 @@ BN_MOMENTUM = 0.1   # reference tree_learn.py:34
 
 def init_bn(channels: int):
     params = {
-        "weight": jnp.ones((channels,), jnp.float32),
-        "bias": jnp.zeros((channels,), jnp.float32),
+        "weight": np.ones((channels,), np.float32),
+        "bias": np.zeros((channels,), np.float32),
     }
     state = {
-        "running_mean": jnp.zeros((channels,), jnp.float32),
-        "running_var": jnp.ones((channels,), jnp.float32),
+        "running_mean": np.zeros((channels,), np.float32),
+        "running_var": np.ones((channels,), np.float32),
     }
     return params, state
+
+
+# Initialization runs entirely in numpy: "keys" are np.random.SeedSequence
+# objects (split = .spawn, fold_in = spawn_key extension).  jax.random would
+# compile one tiny XLA program per distinct shape — ~100 compiles for the
+# depth-7 U-Net, minutes on a slow host — for numbers that are about to be
+# overwritten by training or a checkpoint anyway.
+
+def _split(key, num=2):
+    return key.spawn(num)
+
+
+def _fold_in(key, i: int):
+    return np.random.SeedSequence(entropy=key.entropy,
+                                  spawn_key=key.spawn_key + (int(i),))
 
 
 def _kaiming_uniform(key, shape, fan_in):
     # torch's default conv/linear init: kaiming uniform with a=sqrt(5)
     bound = math.sqrt(6.0 / ((1 + 5.0) * fan_in)) * math.sqrt(2.0)
-    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+    rng = np.random.default_rng(key)
+    return rng.uniform(-bound, bound, shape).astype(np.float32)
 
 
 def init_subm_conv(key, kernel_size: int, c_in: int, c_out: int):
@@ -100,18 +117,21 @@ def init_down_conv(key, c_in: int, c_out: int):
 
 
 def init_linear(key, c_in: int, c_out: int, xavier: bool = False, normal_std: Optional[float] = None):
-    kw, kb = jax.random.split(key)
+    kw, kb = _split(key)
     if normal_std is not None:
-        w = jax.random.normal(kw, (c_out, c_in), jnp.float32) * normal_std
-        b = jnp.zeros((c_out,), jnp.float32)
+        w = (np.random.default_rng(kw).normal(size=(c_out, c_in))
+             * normal_std).astype(np.float32)
+        b = np.zeros((c_out,), np.float32)
     elif xavier:
         bound = math.sqrt(6.0 / (c_in + c_out))
-        w = jax.random.uniform(kw, (c_out, c_in), jnp.float32, -bound, bound)
-        b = jnp.zeros((c_out,), jnp.float32)
+        w = np.random.default_rng(kw).uniform(
+            -bound, bound, (c_out, c_in)).astype(np.float32)
+        b = np.zeros((c_out,), np.float32)
     else:
         w = _kaiming_uniform(kw, (c_out, c_in), c_in)
         bound = 1.0 / math.sqrt(c_in)
-        b = jax.random.uniform(kb, (c_out,), jnp.float32, -bound, bound)
+        b = np.random.default_rng(kb).uniform(
+            -bound, bound, (c_out,)).astype(np.float32)
     return {"weight": w, "bias": b}
 
 
@@ -167,7 +187,7 @@ def apply_mlp(params, state, x, live, *, training: bool, frozen: bool = False):
 
 def init_mlp(key, c_in: int, c_out: int):
     """Weight init parity (blocks.py:20-26): xavier on hidden, N(0, 0.01) on out."""
-    k0, k1 = jax.random.split(key)
+    k0, k1 = _split(key)
     bn_p, bn_s = init_bn(c_in)
     params = {
         "0": init_linear(k0, c_in, c_in, xavier=True),
@@ -182,7 +202,7 @@ def init_mlp(key, c_in: int, c_out: int):
 # ---------------------------------------------------------------------------
 
 def init_residual_block(key, c_in: int, c_out: int, kernel_size: int):
-    k0, k1, k2 = jax.random.split(key, 3)
+    k0, k1, k2 = _split(key, 3)
     bn0_p, bn0_s = init_bn(c_in)
     bn3_p, bn3_s = init_bn(c_out)
     params = {
@@ -274,13 +294,13 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
 
 
 def init_ublock(key, n_planes: Sequence[int], block_reps: int, kernel_size: int):
-    keys = jax.random.split(key, 6)
+    keys = _split(key, 6)
     params, state = {}, {}
 
     blocks_p, blocks_s = {}, {}
     for i in range(block_reps):
         bp, bs = init_residual_block(
-            jax.random.fold_in(keys[0], i), n_planes[0], n_planes[0], kernel_size)
+            _fold_in(keys[0], i), n_planes[0], n_planes[0], kernel_size)
         blocks_p[f"block{i}"] = bp
         blocks_s[f"block{i}"] = bs
     params["blocks"], state["blocks"] = blocks_p, blocks_s
@@ -300,7 +320,7 @@ def init_ublock(key, n_planes: Sequence[int], block_reps: int, kernel_size: int)
         tail_p, tail_s = {}, {}
         for i in range(block_reps):
             bp, bs = init_residual_block(
-                jax.random.fold_in(keys[4], i),
+                _fold_in(keys[4], i),
                 n_planes[0] * (2 - i), n_planes[0], kernel_size)
             tail_p[f"block{i}"] = bp
             tail_s[f"block{i}"] = bs

@@ -106,17 +106,36 @@ class TreeLearn:
     # -- parameters ---------------------------------------------------------
 
     def init(self, key):
-        k0, k1, k2, k3 = jax.random.split(key, 4)
+        """Build the parameter pytree (numpy arrays; they migrate to the
+        compute device on first use).  ``key`` may be a jax PRNG key, an int
+        seed, or an np.random.SeedSequence — initialization itself runs
+        entirely in numpy (no XLA programs; ~100 tiny shape-distinct compiles
+        otherwise, minutes on a slow host)."""
+        if isinstance(key, np.random.SeedSequence):
+            ss = key
+        elif isinstance(key, (int, np.integer)):
+            ss = np.random.SeedSequence(int(key))
+        else:
+            try:
+                data = np.asarray(jax.random.key_data(key))
+            except Exception:
+                data = np.asarray(key)
+            ss = np.random.SeedSequence(
+                data.astype(np.uint64).ravel().tolist())
+        k0, k1, k2, k3 = ss.spawn(4)
         params, state = {}, {}
         params["input_conv"] = {"0": init_subm_conv(k0, self.kernel_size,
                                                     self.in_channels, self.channels)}
-        up, us = init_ublock(k1, self.block_channels, self.block_reps, self.kernel_size)
+        up, us = init_ublock(k1, self.block_channels, self.block_reps,
+                             self.kernel_size)
         params["unet"], state["unet"] = up, us
         bn_p, bn_s = init_bn(self.channels)
         params["output_layer"] = {"0": bn_p}
         state["output_layer"] = {"0": bn_s}
-        params["semantic_linear"], state["semantic_linear"] = init_mlp(k2, self.channels, 2)
-        params["offset_linear"], state["offset_linear"] = init_mlp(k3, self.channels, 3)
+        params["semantic_linear"], state["semantic_linear"] = init_mlp(
+            k2, self.channels, 2)
+        params["offset_linear"], state["offset_linear"] = init_mlp(
+            k3, self.channels, 3)
         return params, state
 
     # -- forward ------------------------------------------------------------

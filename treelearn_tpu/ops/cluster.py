@@ -85,7 +85,6 @@ def connected_components_2d(points: jnp.ndarray, valid: jnp.ndarray,
     inv_order = jnp.zeros((n,), jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32))
     sorted_keys = keys[order]
-    sorted_pts = points[order]
     pos = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool),
                              sorted_keys[1:] != sorted_keys[:-1]])
@@ -108,16 +107,20 @@ def connected_components_2d(points: jnp.ndarray, valid: jnp.ndarray,
     # strided candidate scan: rank r probes position floor((r+phase)*L/cap)
     # of each neighbor cell — exhaustive when L <= cap, an evenly spread
     # sample otherwise.  Only the found/not-found bit per cell is kept.
+    # Coordinates are gathered per column: an (n, 25, 2) gather would be
+    # tiled T(8,128) with the 2-wide minor dim padded to 128 (64x inflation).
     phase_f = jnp.float32(phase)
     len_f = len_o.astype(jnp.float32)
+    sorted_x = points[:, 0][order]
+    sorted_y = points[:, 1][order]
 
     def rank_body(found, r):
         offs = jnp.floor((r.astype(jnp.float32) + phase_f)
                          * len_f / jnp.float32(cell_cap)).astype(jnp.int32)
         offs = jnp.minimum(offs, len_o - 1)
         idx = jnp.clip(start_o + offs, 0, n - 1)
-        cpts = sorted_pts[idx]  # (n, 25, 2)
-        d2 = jnp.sum(jnp.square(cpts - sorted_pts[:, None, :]), axis=-1)
+        d2 = (jnp.square(sorted_x[idx] - sorted_x[:, None])
+              + jnp.square(sorted_y[idx] - sorted_y[:, None]))
         return found | ((len_o > 0) & (d2 <= eps2)), None
 
     found0 = jnp.zeros((n, len(_OFFSETS_2D)), bool)
@@ -253,7 +256,9 @@ def _grid_knn_once(ref_pts, ref_valid, query_pts, query_valid, cell_size,
     keys_r, _ = _cell_keys(ref_pts[:, :2], ref_valid, cell_size)
     order = jnp.argsort(keys_r, stable=True)
     sorted_keys = keys_r[order]
-    sorted_ref = ref_pts[order]
+    # columnar: ref_pts[order] would materialize (R, d) with the tiny d minor
+    # dim padded to 128 by the TPU tiling
+    sorted_cols = [ref_pts[:, c][order] for c in range(ref_pts.shape[1])]
 
     width = jnp.int32(_GRID_WIDTH)
     mins = jnp.min(jnp.where(ref_valid[:, None],
@@ -261,6 +266,7 @@ def _grid_knn_once(ref_pts, ref_valid, query_pts, query_valid, cell_size,
                              jnp.iinfo(jnp.int32).max), axis=0)
     qij = (jnp.floor(query_pts[:, :2] / cell_size).astype(jnp.int64) - mins).astype(jnp.int32)
 
+    r_arr = jnp.arange(cell_cap, dtype=jnp.int32)
     cand_list = []
     for di in range(-ring, ring + 1):
         for dj in range(-ring, ring + 1):
@@ -272,21 +278,27 @@ def _grid_knn_once(ref_pts, ref_valid, query_pts, query_valid, cell_size,
             end = jnp.searchsorted(sorted_keys, nbr_key,
                                    side="right").astype(jnp.int32)
             length = end - start
-            for r in range(cell_cap):
-                # strided sample over the whole cell when it overflows the
-                # cap (an evenly spread subset, never just the first rows —
-                # cells can hold several distinct structures); exhaustive
-                # when the cell fits
-                offs = jnp.where(length > cell_cap,
-                                 (r * length) // cell_cap, r)
-                idx = jnp.clip(start + offs, 0, nr - 1)
-                # key_ok guard: a SENTINEL nbr_key must not "match" padding rows
-                ok = (sorted_keys[idx] == nbr_key) & key_ok
-                cand_list.append(jnp.where(ok, idx, -1))
-    cand = jnp.stack(cand_list, axis=1)  # (Q, C)
+            # strided sample over the whole cell when it overflows the cap
+            # (an evenly spread subset, never just the first rows — cells can
+            # hold several distinct structures); exhaustive when the cell
+            # fits.  Broadcast over ranks: one (Q, cap) gather per neighbor
+            # cell, not cap separate ops (keeps the HLO graph small).
+            offs = jnp.where(length[:, None] > cell_cap,
+                             (r_arr[None, :] * length[:, None]) // cell_cap,
+                             r_arr[None, :])
+            idx = jnp.clip(start[:, None] + offs, 0, nr - 1)
+            # key_ok guard: a SENTINEL nbr_key must not "match" padding rows
+            ok = (sorted_keys[idx] == nbr_key[:, None]) & key_ok[:, None]
+            cand_list.append(jnp.where(ok, idx, -1))
+    cand = jnp.concatenate(cand_list, axis=1)  # (Q, C)
 
-    cpts = sorted_ref[jnp.clip(cand, 0, nr - 1)]
-    d2 = jnp.sum(jnp.square(cpts - query_pts[:, None, :]), axis=-1)
+    # per-coordinate gathers: a (Q, C, d) gather would be tiled T(8,128) with
+    # the d=2/3 minor dim padded to 128 (40-60x physical inflation); gathering
+    # each column keeps every buffer (Q, C) with a large minor dim
+    safe = jnp.clip(cand, 0, nr - 1)
+    d2 = jnp.zeros(cand.shape, jnp.float32)
+    for c, col in enumerate(sorted_cols):
+        d2 = d2 + jnp.square(col[safe] - query_pts[:, c][:, None])
     # a ring-1 xy search is only guaranteed complete out to one cell width;
     # farther candidates may not be the true nearest -> mark unfound, escalate
     d2 = jnp.where((cand >= 0) & (d2 <= cell_size * cell_size), d2, jnp.inf)
@@ -371,23 +383,45 @@ def brute_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
     return (out, out_d2) if return_d2 else out
 
 
+def _grid_knn_blocked(ref_j, rv_j, query_pts: np.ndarray, need: np.ndarray,
+                      cell_size: float, k: int, cell_cap: int,
+                      q_block: int = 1 << 15) -> np.ndarray:
+    """Run _grid_knn_once over the ``need``-marked queries in host blocks so
+    device memory stays O(q_block * 9 * cell_cap) at any query count."""
+    rem = np.where(need)[0]
+    d = query_pts.shape[1]
+    out = np.full((len(rem), k), -1, np.int64)
+    qb = min(q_block, _pow2(max(len(rem), 256)))
+    for lo in range(0, len(rem), qb):
+        hi = min(lo + qb, len(rem))
+        blk = np.zeros((qb, d), np.float32)
+        blk[: hi - lo] = query_pts[rem[lo:hi]]
+        qv = np.zeros(qb, bool)
+        qv[: hi - lo] = True
+        got, _ = _grid_knn_once(ref_j, rv_j, jnp.asarray(blk), jnp.asarray(qv),
+                                float(cell_size), k=k, cell_cap=cell_cap,
+                                ring=1)
+        out[lo:hi] = np.asarray(got)[: hi - lo]
+    return out
+
+
 def grid_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
              cell_size: float = None, cell_cap: int = 32,
              exact: bool = True) -> np.ndarray:
     """k-NN indices (Q, k) of queries into refs via escalating grid search.
 
-    Host wrapper: pads to buckets, escalates cell size x4 for queries that
-    found fewer than k neighbors, without dynamic shapes (each escalation is
-    its own compiled program).
+    Host wrapper: blocks the query side (bounded device memory at any scale),
+    escalates cell size x4 for queries that found fewer than k neighbors,
+    without dynamic shapes (each escalation is its own compiled program).
 
     exact=True sizes the per-cell candidate cap to the fullest cell so results
     match brute force; cells denser than 512 points (heavily clumped data,
     e.g. offset-shifted tree bases) skip the grid and go to the streaming
     chunked brute-force pass — bounded memory at any scale.  exact=False keeps
-    a fixed cap: it returns near-nearest neighbors from a per-cell sample,
-    which is what the 5-NN majority assignment actually needs (reference
-    tolerance: KNeighborsClassifier over millions of points is itself
-    distance-tie unstable).
+    a fixed cap: it returns near-nearest neighbors from an evenly strided
+    per-cell sample, which is what the 5-NN majority assignment actually needs
+    (reference tolerance: KNeighborsClassifier over millions of points is
+    itself distance-tie unstable).
     """
     nq, nr = len(query_pts), len(ref_pts)
     d = ref_pts.shape[1]
@@ -396,17 +430,11 @@ def grid_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
         extent = np.ptp(ref_pts[:, :2], axis=0).max() + 1e-6
         cell_size = max(extent / np.sqrt(max(nr, 1) / max(cell_cap, 1)), 1e-3)
 
-    def pad(a, size, dims):
-        out = np.zeros((size, dims), np.float32)
-        out[: len(a)] = a
-        return out
-
     size_r = _pow2(max(nr, 1024))
-    size_q = _pow2(max(nq, 1024))
-    ref_j = jnp.asarray(pad(ref_pts, size_r, d))
+    ref = np.zeros((size_r, d), np.float32)
+    ref[:nr] = ref_pts
     rv = np.zeros(size_r, bool); rv[:nr] = True
-    qv = np.zeros(size_q, bool); qv[:nq] = True
-    query_j = jnp.asarray(pad(query_pts, size_q, d))
+    ref_j, rv_j = jnp.asarray(ref), jnp.asarray(rv)
 
     idx = np.full((nq, k), -1, np.int64)
     need = np.ones(nq, bool)
@@ -422,14 +450,12 @@ def grid_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
                 break  # too dense for the grid pass; chunked brute force below
         else:
             cap = _pow2(max(k, cell_cap))
-        out_idx, _ = _grid_knn_once(
-            ref_j, jnp.asarray(rv), query_j, jnp.asarray(qv),
-            cs, k=k, cell_cap=cap, ring=1)
-        out_idx = np.asarray(out_idx)[:nq]
+        out_idx = _grid_knn_blocked(ref_j, rv_j, query_pts, need, cs,
+                                    k=k, cell_cap=cap)
+        rem = np.where(need)[0]
         got_all = (out_idx >= 0).all(axis=1)
-        take = need & got_all
-        idx[take] = out_idx[take]
-        need &= ~got_all
+        idx[rem[got_all]] = out_idx[got_all]
+        need[rem[got_all]] = False
         scale *= 4.0
     if need.any():
         rem = np.where(need)[0]
@@ -439,11 +465,9 @@ def grid_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
         else:
             # approximate mode on huge data: accept partial neighbor sets from
             # one more coarse pass, filling missing slots with the nearest found
-            out_idx, _ = _grid_knn_once(
-                ref_j, jnp.asarray(rv), query_j, jnp.asarray(qv),
-                float(cell_size * scale), k=k,
-                cell_cap=_pow2(max(k, cell_cap)), ring=1)
-            partial_idx = np.asarray(out_idx)[:nq][rem]
+            partial_idx = _grid_knn_blocked(
+                ref_j, rv_j, query_pts, need, float(cell_size * scale),
+                k=k, cell_cap=_pow2(max(k, cell_cap)))
             have_any = (partial_idx >= 0).any(axis=1)
             nearest = partial_idx[np.arange(len(partial_idx)),
                                   (partial_idx >= 0).argmax(axis=1)]

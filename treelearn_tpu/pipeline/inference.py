@@ -125,6 +125,13 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
     """
     from ..train.loop import make_eval_step
 
+    # commit params/state to the compute device before lowering: host-resident
+    # params would otherwise change the jit cache key (input placement is part
+    # of the compiled program) and defeat the persistent compile cache
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    state = jax.device_put(state, dev)
+
     step_cache: Dict[tuple, callable] = {}
     outs = {k: [] for k in ("semantic_prediction_logits", "semantic_labels",
                             "offset_predictions", "offset_labels", "coords",

@@ -54,13 +54,31 @@ def get_instances(coords: np.ndarray, offset: np.ndarray,
                   semantic_prediction_logits: np.ndarray, grouping_cfg,
                   verticality_feat: np.ndarray, tree_class_in_dataset: int,
                   non_trees_label: int, not_assigned_label: int,
-                  start_num_preds: int) -> np.ndarray:
+                  start_num_preds: int, search_radius: float = 0.6) -> np.ndarray:
+    """``verticality_feat=None`` activates deferred verticality: the values
+    are computed here, only for points that already pass the confidence and
+    offset filters (neighborhoods still from the full cloud) — typically a
+    several-fold smaller query set than precomputing the whole plot, with
+    identical cluster output.  Used by pipelines whose model ignores input
+    features (model.use_feats false, the reference default)."""
     cluster_coords = (coords + offset)[:, :3]
 
     probs = softmax_np(np.asarray(semantic_prediction_logits, np.float64))
     tree_mask = probs[:, tree_class_in_dataset] >= grouping_cfg.tree_conf_thresh
-    vertical_mask = np.asarray(verticality_feat).reshape(-1) > grouping_cfg.tau_vert
     offset_mask = np.abs(offset[:, 2]) < grouping_cfg.tau_off
+    if verticality_feat is None:
+        from ..ops.features import compute_verticality
+
+        pre = np.where(tree_mask & offset_mask)[0]
+        vertical_mask = np.zeros(len(coords), bool)
+        if len(pre):
+            vert = compute_verticality(coords[:, :3].astype(np.float32),
+                                       search_radius=search_radius,
+                                       query_idx=pre)
+            vertical_mask[pre] = vert[:, 0] > grouping_cfg.tau_vert
+    else:
+        vertical_mask = (np.asarray(verticality_feat).reshape(-1)
+                         > grouping_cfg.tau_vert)
     mask_cluster = tree_mask & vertical_mask & offset_mask
     ind_cluster = np.where(mask_cluster)[0]
     filtered_xy = cluster_coords[ind_cluster][:, :2]

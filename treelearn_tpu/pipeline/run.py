@@ -124,9 +124,13 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
     if streaming:
         from .tiles import prepare_voxelized_features
 
+        # models that ignore input features (use_feats false, the reference
+        # default) don't need whole-plot verticality up front — the grouping
+        # stage computes it lazily over its candidate points only
+        defer_features = not bool(config.model.get("use_feats", False))
         vox_path, feat_path = prepare_voxelized_features(
             config.sample_generation, config.forest_path, logger,
-            config.save_cfg.return_type)
+            config.save_cfg.return_type, skip_features=defer_features)
         _stage("voxelize_features")
     elif config.tile_generation:
         logger.info("#################### generating tiles ####################")
@@ -140,15 +144,17 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
 
     model = TreeLearn(**config.model)
     if params is None:
-        params, state = model.init(jax.random.PRNGKey(0))
+        params, state = model.init(0)  # int seed: no device round trip
         if config.get("pretrain"):
             params, state, _ = load_checkpoint(config.pretrain, params, state, logger)
     if streaming:
         from .streaming import TileStream
 
         vox = np.load(vox_path)
-        feats_arr = np.load(feat_path)["features"]
         vox_pts = vox["points"].astype(np.float64)
+        feats_arr = (np.zeros((len(vox_pts), 1), np.float32)
+                     if feat_path is None
+                     else np.load(feat_path)["features"])
         stream = TileStream(
             vox_pts, vox["labels"],
             feats_arr, config.sample_generation.inner_edge,
@@ -228,10 +234,13 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
 
     # instances
     logger.info(f"{plot_name}: #################### getting predicted instances ####################")
+    verticality = (None if (streaming and defer_features)
+                   else input_feats[:, -1])
     instance_preds = get_instances(
         coords, offset_predictions, semantic_prediction_logits, config.grouping,
-        input_feats[:, -1], TREE_CLASS_IN_DATASET, NON_TREES_LABEL_IN_GROUPING,
-        NOT_ASSIGNED_LABEL_IN_GROUPING, START_NUM_PREDS)
+        verticality, TREE_CLASS_IN_DATASET, NON_TREES_LABEL_IN_GROUPING,
+        NOT_ASSIGNED_LABEL_IN_GROUPING, START_NUM_PREDS,
+        search_radius=config.sample_generation.search_radius_features)
     instance_preds_initial = np.copy(instance_preds)
     _stage("cluster")
 

@@ -290,12 +290,17 @@ class SampleGenerator:
 
 def prepare_voxelized_features(cfg, forest_path: str, logger,
                                return_type: str = "voxelized",
-                               features_fn=None):
+                               features_fn=None, skip_features: bool = False):
     """Voxelize the plot (cached) and compute verticality features (cached).
 
     Returns (voxelized_path, features_path).  The voxel->original trace is
     stored as a plain int64 inverse-index npz instead of the reference's
-    python hash dict pickle (util/pipeline.py:48-57)."""
+    python hash dict pickle (util/pipeline.py:48-57).
+
+    ``skip_features=True`` (pipelines whose model ignores input features)
+    skips the whole-plot verticality stage and returns features_path=None —
+    the grouping stage then computes verticality lazily for its candidate
+    points only (pipeline/instances.py)."""
     plot_name = os.path.basename(forest_path)[:-4]
     base_dir = os.path.dirname(os.path.dirname(forest_path))
 
@@ -318,6 +323,8 @@ def prepare_voxelized_features(cfg, forest_path: str, logger,
         if return_type == "original":
             np.savez(save_path_trace, inverse=inverse.astype(np.int64))
 
+    if skip_features:
+        return save_path_vox, None
     logger.info("calculating features...")
     save_path_features = osp.join(features_dir, f"{plot_name}.npz")
     if not osp.exists(save_path_features):
