@@ -125,12 +125,21 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
     """
     from ..train.loop import make_eval_step
 
-    # commit params/state to the compute device before lowering: host-resident
-    # params would otherwise change the jit cache key (input placement is part
-    # of the compiled program) and defeat the persistent compile cache
-    dev = jax.devices()[0]
-    params = jax.device_put(params, dev)
-    state = jax.device_put(state, dev)
+    # commit params/state to the compute device(s) before lowering:
+    # host-resident params would otherwise change the jit cache key (input
+    # placement is part of the compiled program) and defeat the persistent
+    # compile cache.  Under DP the shard_map expects them replicated over the
+    # whole mesh, not resident on one device.
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        params = jax.device_put(params, rep)
+        state = jax.device_put(state, rep)
+    else:
+        dev = jax.devices()[0]
+        params = jax.device_put(params, dev)
+        state = jax.device_put(state, dev)
 
     step_cache: Dict[tuple, callable] = {}
     outs = {k: [] for k in ("semantic_prediction_logits", "semantic_labels",
