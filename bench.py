@@ -55,6 +55,21 @@ def main():
     from treelearn_tpu.data.synthetic import make_synthetic_forest
     from treelearn_tpu.pipeline import run_treelearn_pipeline
 
+    # Warm the accelerator BEFORE the timed region: on tunneled devices the
+    # first execution in a process pays a one-time attach/init cost that is
+    # wildly variable (measured 1.5s-420s on the same chip) and has nothing to
+    # do with pipeline throughput — the same category as CUDA context creation,
+    # which the reference's Colab timing also excludes.  Runs on a background
+    # thread so forest generation overlaps it.
+    import threading
+
+    def _warm():
+        import jax.numpy as jnp
+        jax.block_until_ready(jnp.zeros((8, 128)) + 1)
+
+    warm_thread = threading.Thread(target=_warm, daemon=True)
+    warm_thread.start()
+
     log(f"device: {jax.devices()[0]}")
     work = os.path.abspath("bench_workdir")
     shutil.rmtree(work, ignore_errors=True)
@@ -92,6 +107,9 @@ def main():
     config.shape_cfg.outer_remove = None
     config.voxel_capacity = capacity
     config.dataloader.batch_size = 1
+
+    warm_thread.join()
+    log("device warm")
 
     profile_dir = os.environ.get("BENCH_PROFILE")
     if profile_dir:

@@ -67,7 +67,8 @@ def test_custom_vjp_matches_xla_autodiff_on_tpu():
 
     def loss_ad(x, W):
         return jnp.sum(rule_conv_ad(x, W, rule, rule, grid.live_mask,
-                                    grid.live_mask, True, True, None) * cot)
+                                    grid.live_mask, None, None,
+                                    True, True, None) * cot)
 
     def loss_xla(x, W):
         return jnp.sum(subm_conv(x, W, rule, grid.live_mask) * cot)

@@ -40,19 +40,21 @@ from ..ops.sparse import (
 )
 
 
-def _subm(x, weight, rule, live, fast: bool):
+def _subm(x, weight, rule, live, fast: bool, spans=None):
     """Submanifold conv dispatch: differentiable Pallas banded kernel
     (ops/pallas_conv.py) on TPU, XLA gather path otherwise.  A submanifold
-    rule is its own transpose under kernel-offset mirroring."""
+    rule is its own transpose under kernel-offset mirroring.  ``spans`` is
+    the level-shared (lo, ok) precompute (ops/pallas_conv.py:rule_spans)."""
     if fast:
         from ..ops.pallas_conv import rule_conv_ad
 
         return rule_conv_ad(x, weight, rule, rule, live, live,
-                            True, True, None)
+                            spans, spans, True, True, None)
     return subm_conv(x, weight.astype(x.dtype), rule, live)
 
 
-def _rule_conv(x, weight, rule, rule_t, live_out, live_in, fast: bool):
+def _rule_conv(x, weight, rule, rule_t, live_out, live_in, fast: bool,
+               spans=None, spans_t=None):
     """Gather-form strided/inverse conv dispatch (K=8 rules).  ``rule_t`` is
     the transposed rule of the pair (inverse rule for the strided conv and
     vice versa), used by the custom VJP."""
@@ -60,7 +62,7 @@ def _rule_conv(x, weight, rule, rule_t, live_out, live_in, fast: bool):
         from ..ops.pallas_conv import rule_conv_ad
 
         return rule_conv_ad(x, weight, rule, rule_t, live_out, live_in,
-                            False, False, None)
+                            spans, spans_t, False, False, None)
     return subm_conv(x, weight.astype(x.dtype), rule, live_out,
                      center_identity=False)
 
@@ -222,15 +224,16 @@ def init_residual_block(key, c_in: int, c_out: int, kernel_size: int):
 
 
 def apply_residual_block(params, state, x, rule, live, *, training: bool,
-                         frozen: bool = False, fast: bool = False):
+                         frozen: bool = False, fast: bool = False,
+                         spans=None):
     """Pre-activation residual block (blocks.py:42-79)."""
     cb, cs = params["conv_branch"], state["conv_branch"]
     y, s0 = apply_bn(cb["0"], cs["0"], x, live, training=training, frozen=frozen)
     y = jax.nn.relu(y)
-    y = _subm(y, cb["2"]["weight"], rule, live, fast)
+    y = _subm(y, cb["2"]["weight"], rule, live, fast, spans)
     y, s3 = apply_bn(cb["3"], cs["3"], y, live, training=training, frozen=frozen)
     y = jax.nn.relu(y)
-    y = _subm(y, cb["5"]["weight"], rule, live, fast)
+    y = _subm(y, cb["5"]["weight"], rule, live, fast, spans)
 
     if "i_branch" in params:
         shortcut = x @ params["i_branch"]["0"]["weight"].T.astype(x.dtype)
@@ -241,19 +244,82 @@ def apply_residual_block(params, state, x, rule, live, *, training: bool,
     return out, {"conv_branch": {"0": s0, "3": s3}}
 
 
+def apply_block_chain(blocks_p, blocks_s, block_names, x, rule, live, *,
+                      training: bool, frozen: bool = False, fast: bool = False,
+                      spans=None):
+    """A chain of IDENTITY residual blocks (c->c, no i_branch) as one
+    lax.scan over the 2*len(block_names) (BN, ReLU, conv) steps.
+
+    Semantics identical to applying :func:`apply_residual_block` in sequence;
+    the scan exists purely for executable size: each unrolled conv instance
+    costs ~2-3 MB of TPU code and the depth-7 U-Net has 56 of them — unrolled
+    they produced a >700 MB executable whose upload to the device dominated
+    end-to-end latency (~2 MB/s on a tunneled chip).
+    """
+    bn_w, bn_b, bn_m, bn_v, w, ends = [], [], [], [], [], []
+    for name in block_names:
+        cb, cs = blocks_p[name]["conv_branch"], blocks_s[name]["conv_branch"]
+        assert "i_branch" not in blocks_p[name], "chain requires identity blocks"
+        for bn_key, conv_key, end in (("0", "2", 0.0), ("3", "5", 1.0)):
+            bn_w.append(cb[bn_key]["weight"])
+            bn_b.append(cb[bn_key]["bias"])
+            bn_m.append(cs[bn_key]["running_mean"])
+            bn_v.append(cs[bn_key]["running_var"])
+            w.append(cb[conv_key]["weight"])
+            ends.append(end)
+    xs = (jnp.stack([jnp.asarray(a) for a in bn_w]),
+          jnp.stack([jnp.asarray(a) for a in bn_b]),
+          jnp.stack([jnp.asarray(a) for a in bn_m]),
+          jnp.stack([jnp.asarray(a) for a in bn_v]),
+          jnp.stack([jnp.asarray(a) for a in w]),
+          jnp.asarray(np.array(ends, np.float32)))
+
+    def body(carry, step):
+        x, skip = carry
+        sw, sb, sm, sv, wk, end = step
+        y, bn_new = apply_bn({"weight": sw, "bias": sb},
+                             {"running_mean": sm, "running_var": sv},
+                             x, live, training=training, frozen=frozen)
+        y = jax.nn.relu(y)
+        y = _subm(y, wk, rule, live, fast, spans)
+        is_end = end > 0.5
+        out = jnp.where(is_end, y + skip, y)
+        out = jnp.where(live[:, None], out, 0.0)
+        new_skip = jnp.where(is_end, out, skip)
+        return (out, new_skip), (bn_new["running_mean"], bn_new["running_var"])
+
+    (x, _), (rm, rv) = jax.lax.scan(body, (x, x), xs)
+
+    new_state = {}
+    s = 0
+    for name in block_names:
+        new_state[name] = {"conv_branch": {
+            "0": {"running_mean": rm[s], "running_var": rv[s]},
+            "3": {"running_mean": rm[s + 1], "running_var": rv[s + 1]},
+        }}
+        s += 2
+    return x, new_state
+
+
 # ---------------------------------------------------------------------------
 # UBlock (recursive U-Net level)
 # ---------------------------------------------------------------------------
 
 class LevelPlan(NamedTuple):
     """Precomputed sparse topology of one U-Net level (shared by all its
-    blocks — the spconv indice_key cache made explicit)."""
+    blocks — the spconv indice_key cache made explicit).  The ``*_spans``
+    fields are the banded-window (lo, ok) precomputes shared by every conv
+    using the corresponding rule (ops/pallas_conv.py:rule_spans); None when
+    the shapes do not admit the banded path."""
 
     grid: SparseGrid
     subm_rule: jnp.ndarray                  # (K, V) gather table
     down: Optional[DownsampleRulebook]      # None at the deepest level
     down_rule: Optional[jnp.ndarray]        # (8, V_out) gather-form strided rule
     inv_rule: Optional[jnp.ndarray]         # (8, V_in) gather-form inverse rule
+    subm_spans: Optional[tuple] = None
+    down_spans: Optional[tuple] = None
+    inv_spans: Optional[tuple] = None
 
 
 def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
@@ -268,6 +334,12 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
     level, O(1) probes; otherwise binary search over sorted keys.
     """
     from ..ops.sparse import build_dense_table
+    from ..ops.pallas_conv import DEFAULT_TILE, DEFAULT_WINDOW, rule_spans
+
+    def spans_for(rule, v_in):
+        if rule.shape[1] % DEFAULT_TILE != 0 or v_in < DEFAULT_WINDOW:
+            return None  # rule_conv_fast uses the XLA path for these shapes
+        return rule_spans(rule, DEFAULT_TILE, DEFAULT_WINDOW, v_in)
 
     plans = []
     g = grid
@@ -280,16 +352,21 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
         rule = build_subm_rulebook(g, kernel_size, dense_table=table)
         if lvl < num_levels - 1:
             rb = build_downsample(g, int(capacities[lvl + 1]))
+            down_rule = build_down_rule(rb, g, child_table=table)
+            inv_rule = build_inverse_rule(rb)
             plans.append(LevelPlan(
                 grid=g, subm_rule=rule, down=rb,
-                down_rule=build_down_rule(rb, g, child_table=table),
-                inv_rule=build_inverse_rule(rb)))
+                down_rule=down_rule, inv_rule=inv_rule,
+                subm_spans=spans_for(rule, g.capacity),
+                down_spans=spans_for(down_rule, g.capacity),
+                inv_spans=spans_for(inv_rule, rb.out_grid.capacity)))
             g = rb.out_grid
             if shape is not None:
                 shape = tuple(s // 2 for s in shape)
         else:
             plans.append(LevelPlan(grid=g, subm_rule=rule, down=None,
-                                   down_rule=None, inv_rule=None))
+                                   down_rule=None, inv_rule=None,
+                                   subm_spans=spans_for(rule, g.capacity)))
     return tuple(plans)
 
 
@@ -334,13 +411,15 @@ def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
     """Recursive UBlock forward (blocks.py:137-149)."""
     plan = plans[level]
     live = plan.grid.live_mask
-    new_state = {"blocks": {}}
+    new_state = {}
 
-    for i in range(block_reps):
-        x, s = apply_residual_block(
-            params["blocks"][f"block{i}"], state["blocks"][f"block{i}"],
-            x, plan.subm_rule, live, training=training, frozen=frozen, fast=fast)
-        new_state["blocks"][f"block{i}"] = s
+    # head blocks are identity residual blocks (c -> c): one scanned chain
+    x, s = apply_block_chain(
+        params["blocks"], state["blocks"],
+        [f"block{i}" for i in range(block_reps)],
+        x, plan.subm_rule, live, training=training, frozen=frozen, fast=fast,
+        spans=plan.subm_spans)
+    new_state["blocks"] = s
 
     if "u" in params:
         identity = x
@@ -349,7 +428,8 @@ def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
         new_state["conv"] = {"0": s}
         y = jax.nn.relu(y)
         y = _rule_conv(y, params["conv"]["2"]["weight"], plan.down_rule,
-                       plan.inv_rule, plan.down.out_grid.live_mask, live, fast)
+                       plan.inv_rule, plan.down.out_grid.live_mask, live, fast,
+                       spans=plan.down_spans, spans_t=plan.inv_spans)
 
         y, s = apply_ublock(params["u"], state["u"], y, plans, level + 1,
                             block_reps=block_reps, training=training,
@@ -362,14 +442,23 @@ def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
         new_state["deconv"] = {"0": s}
         y = jax.nn.relu(y)
         y = _rule_conv(y, params["deconv"]["2"]["weight"], plan.inv_rule,
-                       plan.down_rule, live, plan.down.out_grid.live_mask, fast)
+                       plan.down_rule, live, plan.down.out_grid.live_mask, fast,
+                       spans=plan.inv_spans, spans_t=plan.down_spans)
 
         x = jnp.concatenate([identity, y], axis=1)
         new_state["blocks_tail"] = {}
-        for i in range(block_reps):
-            x, s = apply_residual_block(
-                params["blocks_tail"][f"block{i}"], state["blocks_tail"][f"block{i}"],
+        # tail block0 takes the 2c skip-concat input (i_branch projection) —
+        # not chainable; the remaining tail blocks are identity c -> c
+        x, s = apply_residual_block(
+            params["blocks_tail"]["block0"], state["blocks_tail"]["block0"],
+            x, plan.subm_rule, live, training=training, frozen=frozen,
+            fast=fast, spans=plan.subm_spans)
+        new_state["blocks_tail"]["block0"] = s
+        if block_reps > 1:
+            x, s = apply_block_chain(
+                params["blocks_tail"], state["blocks_tail"],
+                [f"block{i}" for i in range(1, block_reps)],
                 x, plan.subm_rule, live, training=training, frozen=frozen,
-                fast=fast)
-            new_state["blocks_tail"][f"block{i}"] = s
+                fast=fast, spans=plan.subm_spans)
+            new_state["blocks_tail"].update(s)
     return x, new_state

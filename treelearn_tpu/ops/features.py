@@ -202,27 +202,44 @@ def compute_verticality(points: np.ndarray, search_radius: float = 0.6,
     """
     points = np.asarray(points, np.float32)
     n = len(points)
-    size = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
-    pts = np.zeros((size, 3), np.float32)
-    pts[:n] = points
-    vmask = np.zeros(size, bool)
-    vmask[:n] = True
-    ref_j, rv_j = jnp.asarray(pts), jnp.asarray(vmask)
-
     queries = points if query_idx is None else points[np.asarray(query_idx)]
     nq = len(queries)
     vert = np.empty(nq, np.float32)
-    qb = min(chunk, size)
-    for lo in range(0, nq, qb):
-        hi = min(lo + qb, nq)
-        blk = np.zeros((qb, 3), np.float32)
-        blk[: hi - lo] = queries[lo:hi]
-        qv = np.zeros(qb, bool)
-        qv[: hi - lo] = True
-        v, _ = _verticality_pass(ref_j, rv_j, jnp.asarray(blk),
-                                 jnp.asarray(qv), np.float32(search_radius),
-                                 cell_cap)
-        vert[lo:hi] = np.asarray(v)[: hi - lo]
+
+    # banded Pallas kernel (exact, gather-free; ops/pallas_vert.py) on TPU,
+    # XLA capped-gather pass elsewhere and for window-overflow stragglers
+    use_banded = kwargs.get("use_banded")
+    if use_banded is None:
+        use_banded = jax.default_backend() == "tpu"
+    need = np.ones(nq, bool)
+    if use_banded and nq:
+        from .pallas_vert import verticality_banded
+
+        v_b, cnt_b, overflow = verticality_banded(points, queries,
+                                                  float(search_radius))
+        done = ~overflow
+        vert[done] = np.where(cnt_b[done] >= 3, v_b[done], np.nan)
+        need = overflow
+
+    if need.any():
+        size = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
+        pts = np.zeros((size, 3), np.float32)
+        pts[:n] = points
+        vmask = np.zeros(size, bool)
+        vmask[:n] = True
+        ref_j, rv_j = jnp.asarray(pts), jnp.asarray(vmask)
+        rem = np.where(need)[0]
+        qb = min(chunk, size)
+        for lo in range(0, len(rem), qb):
+            hi = min(lo + qb, len(rem))
+            blk = np.zeros((qb, 3), np.float32)
+            blk[: hi - lo] = queries[rem[lo:hi]]
+            qv = np.zeros(qb, bool)
+            qv[: hi - lo] = True
+            v, _ = _verticality_pass(ref_j, rv_j, jnp.asarray(blk),
+                                     jnp.asarray(qv),
+                                     np.float32(search_radius), cell_cap)
+            vert[rem[lo:hi]] = np.asarray(v)[: hi - lo]
 
     nanmask = np.isnan(vert)
     if nanmask.any():

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -54,16 +55,27 @@ def _tile_lo(rule: jnp.ndarray, tile: int, window: int, v: int) -> jnp.ndarray:
     return jnp.clip(lo, 0, max(v - window, 0)).astype(jnp.int32)
 
 
-def banded_spans_ok(rule: jnp.ndarray, tile: int, window: int, v: int):
-    """() bool — True iff every valid rulebook entry falls inside its tile's
-    window (i.e. the fast Pallas path is exact for this rulebook)."""
+def rule_spans(rule: jnp.ndarray, tile: int, window: int, v: int):
+    """Precompute the banded-window metadata of a rulebook: ``(lo, ok)`` where
+    ``lo`` is the (K, ntiles) int32 window starts and ``ok`` is a () bool that
+    is True iff every valid rulebook entry falls inside its tile's window
+    (i.e. the fast Pallas path is exact for this rulebook).
+
+    All convs sharing a rulebook (all blocks of a U-Net level — the spconv
+    ``indice_key`` group) share one spans computation; compute it once per
+    level and pass it to :func:`rule_conv_fast` / :func:`rule_conv_ad`."""
     k, n = rule.shape
     ntiles = n // tile
     lo = _tile_lo(rule, tile, window, v)  # (K, ntiles)
     r = rule.reshape(k, ntiles, tile)
     rel = r - lo[:, :, None]
     bad = (r >= 0) & ((rel < 0) | (rel >= window))
-    return ~jnp.any(bad)
+    return lo, ~jnp.any(bad)
+
+
+def banded_spans_ok(rule: jnp.ndarray, tile: int, window: int, v: int):
+    """() bool — see :func:`rule_spans`."""
+    return rule_spans(rule, tile, window, v)[1]
 
 
 def _subm_kernel(lo_ref, n_live_ref, rule_ref, feats_hbm, w_ref, out_ref,
@@ -88,10 +100,18 @@ def _subm_kernel(lo_ref, n_live_ref, rule_ref, feats_hbm, w_ref, out_ref,
 
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
 
-        for k in range(n_offsets):
-            slot = k % 2
-            if k + 1 < n_offsets:
-                dma(k + 1, (k + 1) % 2).start()
+        # fori_loop (NOT a python loop): the unrolled body costs ~0.5 MB of
+        # VLIW code per offset and the model instantiates ~65 of these kernels
+        # — unrolling K=27 produced a 741 MB executable whose upload to the
+        # device dominated end-to-end time.  Double-buffering works unchanged:
+        # iteration k waits on slot k%2 while k+1 streams into the other slot.
+        def body(k, _):
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < n_offsets)
+            def _():
+                dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
             dma(k, slot).wait()
 
             rule_k = rule_ref[k, :]                          # (T,)
@@ -104,7 +124,9 @@ def _subm_kernel(lo_ref, n_live_ref, rule_ref, feats_hbm, w_ref, out_ref,
                         preferred_element_type=jnp.float32)  # selected rows
             acc_ref[:] += jnp.dot(h.astype(jnp.bfloat16), w_ref[k],
                                   preferred_element_type=jnp.float32)
+            return _
 
+        jax.lax.fori_loop(0, n_offsets, body, None, unroll=False)
         out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
@@ -112,11 +134,14 @@ def _subm_kernel(lo_ref, n_live_ref, rule_ref, feats_hbm, w_ref, out_ref,
 def subm_conv_banded(feats: jnp.ndarray, weight: jnp.ndarray,
                      rule: jnp.ndarray, live_mask: jnp.ndarray,
                      tile: int = DEFAULT_TILE,
-                     window: int = DEFAULT_WINDOW) -> jnp.ndarray:
+                     window: int = DEFAULT_WINDOW,
+                     lo: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Banded-window Pallas submanifold conv (unchecked fast path).
 
     feats (V, Cin) any float dtype; weight (K, Cin, Cout); rule (K, V).
-    V must be a multiple of ``tile`` and >= ``window``.
+    V must be a multiple of ``tile`` and >= ``window``.  ``lo`` is the
+    precomputed window-start table from :func:`rule_spans` (recomputed here
+    when absent).
     """
     v, cin = feats.shape          # input rows (gather source)
     v_out = rule.shape[1]         # output rows
@@ -124,7 +149,8 @@ def subm_conv_banded(feats: jnp.ndarray, weight: jnp.ndarray,
     assert v_out % tile == 0 and v >= window, (v, v_out, tile, window)
     ntiles = v_out // tile
 
-    lo = _tile_lo(rule, tile, window, v)
+    if lo is None:
+        lo = _tile_lo(rule, tile, window, v)
     # Mosaic requires DMA slices lane-aligned to 128: pad channels (weights are
     # zero-padded so no in-kernel slicing is needed; the extra MXU columns are
     # free relative to the DMA win).
@@ -192,10 +218,14 @@ def _dw_kernel(lo_ref, n_live_ref, rule_ref, g_ref, x_hbm, out_ref,
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
         g_tile = g_ref[:]  # (T, Cout) bf16
 
-        for k in range(n_offsets):
-            slot = k % 2
-            if k + 1 < n_offsets:
-                dma(k + 1, (k + 1) % 2).start()
+        # fori_loop over offsets for code size (see _subm_kernel)
+        def body(k, _):
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < n_offsets)
+            def _():
+                dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
             dma(k, slot).wait()
 
             rule_k = rule_ref[k, :]
@@ -208,14 +238,16 @@ def _dw_kernel(lo_ref, n_live_ref, rule_ref, g_ref, x_hbm, out_ref,
                                preferred_element_type=jnp.float32)  # (T, Cpad)
             out_ref[k] += jnp.dot(gathered.astype(jnp.bfloat16).T, g_tile,
                                   preferred_element_type=jnp.float32)
+            return _
 
-    _ = n_offsets  # keep signature symmetric
+        jax.lax.fori_loop(0, n_offsets, body, None, unroll=False)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window"))
 def rule_conv_dw_banded(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
                         live_mask: jnp.ndarray, tile: int = DEFAULT_TILE,
-                        window: int = DEFAULT_WINDOW) -> jnp.ndarray:
+                        window: int = DEFAULT_WINDOW,
+                        lo: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Weight gradient of a rulebook conv: (K, Cin, Cout) f32.
 
     x (V_in, Cin) inputs, g (V_out, Cout) output cotangents (must already be
@@ -227,7 +259,8 @@ def rule_conv_dw_banded(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
     k = rule.shape[0]
     assert v_out % tile == 0 and v >= window
 
-    lo = _tile_lo(rule, tile, window, v)
+    if lo is None:
+        lo = _tile_lo(rule, tile, window, v)
     cpad = ((cin + 127) // 128) * 128
     x_b = x.astype(jnp.bfloat16)
     if cpad != cin:
@@ -264,12 +297,13 @@ def rule_conv_dw_banded(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
 def rule_conv_fast(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
                    live_mask: jnp.ndarray, tile: int = DEFAULT_TILE,
                    window: int = DEFAULT_WINDOW,
-                   center_identity: bool = False) -> jnp.ndarray:
+                   center_identity: bool = False,
+                   spans=None) -> jnp.ndarray:
     """Exact rulebook conv for any (K, V_out) rule — submanifold (K=27),
     gather-form strided (K=8), or inverse (K=8): Pallas banded path when every
     rulebook entry is in-window (the overwhelmingly common case on sorted
     voxel data), XLA gather path otherwise — selected at runtime by
-    ``lax.cond``."""
+    ``lax.cond``.  ``spans`` is the shared (lo, ok) from :func:`rule_spans`."""
     from .sparse import subm_conv
 
     v = feats.shape[0]
@@ -278,10 +312,11 @@ def rule_conv_fast(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
         return subm_conv(feats, weight, rule, live_mask,
                          center_identity=center_identity)
 
-    ok = banded_spans_ok(rule, tile, window, v)
+    lo, ok = spans if spans is not None else rule_spans(rule, tile, window, v)
     return jax.lax.cond(
         ok,
-        lambda f: subm_conv_banded(f, weight, rule, live_mask, tile, window),
+        lambda f: subm_conv_banded(f, weight, rule, live_mask, tile, window,
+                                   lo=lo),
         lambda f: subm_conv(f, weight.astype(f.dtype), rule, live_mask,
                             center_identity=center_identity),
         feats,
@@ -289,24 +324,25 @@ def rule_conv_fast(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
 
 
 def subm_conv_fast(feats, weight, rule, live_mask, tile: int = DEFAULT_TILE,
-                   window: int = DEFAULT_WINDOW):
+                   window: int = DEFAULT_WINDOW, spans=None):
     """Submanifold conv dispatch (center column of the rule is the identity)."""
     return rule_conv_fast(feats, weight, rule, live_mask, tile, window,
-                          center_identity=True)
+                          center_identity=True, spans=spans)
 
 
 def rule_conv_dw_xla(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
                      live_mask: jnp.ndarray) -> jnp.ndarray:
-    """XLA fallback weight gradient (gather-based)."""
+    """XLA fallback weight gradient (gather-based, scanned over offsets)."""
     v = x.shape[0]
     g = jnp.where(live_mask[:, None], g, 0).astype(jnp.float32)
-    dws = []
-    for k in range(rule.shape[0]):
-        idx = rule[k]
+
+    def body(_, idx):
         gathered = x[jnp.clip(idx, 0, v - 1)].astype(jnp.float32)
         gathered = jnp.where((idx >= 0)[:, None], gathered, 0.0)
-        dws.append(gathered.T @ g)
-    return jnp.stack(dws, axis=0)
+        return None, gathered.T @ g
+
+    _, dw = jax.lax.scan(body, None, rule)
+    return dw
 
 
 # ---------------------------------------------------------------------------
@@ -319,45 +355,51 @@ def rule_conv_dw_xla(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
 # the strided pair), so dx is the same banded kernel with transposed weights,
 # and dW is one extra banded pass accumulating per-tile outer products.
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def rule_conv_ad(feats, weight, rule, rule_t, live_out, live_in,
+                 spans, spans_t,
                  mirror: bool, center_identity: bool, tile_window=None):
+    """Differentiable rulebook conv.  ``spans``/``spans_t`` are the shared
+    (lo, ok) precomputes of ``rule``/``rule_t`` (see :func:`rule_spans`);
+    pass None to compute them inline."""
     tile, window = tile_window or (DEFAULT_TILE, DEFAULT_WINDOW)
     return rule_conv_fast(feats, weight, rule, live_out, tile, window,
-                          center_identity=center_identity)
+                          center_identity=center_identity, spans=spans)
 
 
 def _rule_conv_ad_fwd(feats, weight, rule, rule_t, live_out, live_in,
-                      mirror, center_identity, tile_window):
+                      spans, spans_t, mirror, center_identity, tile_window):
     out = rule_conv_ad(feats, weight, rule, rule_t, live_out, live_in,
-                       mirror, center_identity, tile_window)
-    return out, (feats, weight, rule, rule_t, live_out, live_in)
+                       spans, spans_t, mirror, center_identity, tile_window)
+    return out, (feats, weight, rule, rule_t, live_out, live_in, spans, spans_t)
 
 
 def _rule_conv_ad_bwd(mirror, center_identity, tile_window, res, g):
     tile, window = tile_window or (DEFAULT_TILE, DEFAULT_WINDOW)
-    feats, weight, rule, rule_t, live_out, live_in = res
+    feats, weight, rule, rule_t, live_out, live_in, spans, spans_t = res
     g = jnp.where(live_out[:, None], g, 0)
 
     wt = weight[::-1] if mirror else weight
     wt = wt.transpose(0, 2, 1)
     dx = rule_conv_fast(g, wt, rule_t, live_in, tile, window,
-                        center_identity=center_identity)
+                        center_identity=center_identity, spans=spans_t)
     dx = dx.astype(feats.dtype)
 
     v = feats.shape[0]
     v_out = rule.shape[1]
     if v_out % tile == 0 and v >= window:
-        ok = banded_spans_ok(rule, tile, window, v)
+        lo, ok = (spans if spans is not None
+                  else rule_spans(rule, tile, window, v))
         dw = jax.lax.cond(
             ok,
-            lambda a: rule_conv_dw_banded(a[0], a[1], rule, live_out, tile, window),
+            lambda a: rule_conv_dw_banded(a[0], a[1], rule, live_out, tile,
+                                          window, lo=lo),
             lambda a: rule_conv_dw_xla(a[0], a[1], rule, live_out),
             (feats, g),
         )
     else:
         dw = rule_conv_dw_xla(feats, g, rule, live_out)
-    return dx, dw.astype(weight.dtype), None, None, None, None
+    return (dx, dw.astype(weight.dtype), None, None, None, None, None, None)
 
 
 rule_conv_ad.defvjp(_rule_conv_ad_fwd, _rule_conv_ad_bwd)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .hashing import SENTINEL, decode_keys, encode_keys, lookup, sort_unique
@@ -102,39 +103,37 @@ def build_dense_table(grid: SparseGrid, table_size: int) -> jnp.ndarray:
         iota, mode="drop")
 
 
-def _neighbor_keys(grid: SparseGrid, kernel_size: int) -> jnp.ndarray:
-    """(K * V,) neighbor keys per kernel offset; SENTINEL where invalid.
-
-    Input-gather at out + offset: the cross-correlation convention of
-    torch/spconv SubMConv3d.
-    """
-    offs = kernel_offsets(kernel_size)  # (K, 3)
-    k = offs.shape[0]
-    coords = grid.coords  # (V, 4)
-    nbr = coords[None, :, 1:] + offs[:, None, :]  # (K, V, 3)
-    b = jnp.broadcast_to(coords[None, :, :1], (k, coords.shape[0], 1))
-    nbr_coords = jnp.concatenate([b, nbr], axis=2).reshape(-1, 4)
-    nbr_keys = encode_keys(nbr_coords, grid.spatial_shape)
-    return jnp.where(
-        jnp.repeat(grid.live_mask[None, :], k, 0).reshape(-1), nbr_keys, SENTINEL)
-
-
 def build_subm_rulebook(grid: SparseGrid, kernel_size: int,
                         dense_table: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Gather table for a submanifold conv: (K, V) int32 into V, -1 = no input.
 
     out[i] = sum_k W[k] @ feat[rule[k, i]]   (rule[center, i] == i for live rows)
 
+    Neighbor probes are input-gathers at out + offset (the cross-correlation
+    convention of torch/spconv SubMConv3d), scanned over the K offsets — a
+    python loop would emit K copies of the probe code into every one of the
+    model's 7 level builds (executable size; see ops/pallas_conv.py).
+
     With ``dense_table`` (see :func:`build_dense_table`) each probe is one
     gather; otherwise falls back to binary search over the sorted keys.
     """
-    k = kernel_size ** 3
-    nbr_keys = _neighbor_keys(grid, kernel_size)
-    if dense_table is not None:
-        rule = jnp.take(dense_table, nbr_keys, mode="fill", fill_value=-1)
-    else:
-        rule = lookup(grid.keys, nbr_keys)
-    return rule.reshape(k, -1)
+    offs = kernel_offsets(kernel_size)  # (K, 3)
+    coords = grid.coords               # (V, 4)
+    live = grid.live_mask
+
+    def probe(_, off_k):
+        nbr_coords = jnp.concatenate(
+            [coords[:, :1], coords[:, 1:] + off_k[None, :]], axis=1)
+        nbr_keys = jnp.where(live, encode_keys(nbr_coords, grid.spatial_shape),
+                             SENTINEL)
+        if dense_table is not None:
+            row = jnp.take(dense_table, nbr_keys, mode="fill", fill_value=-1)
+        else:
+            row = lookup(grid.keys, nbr_keys)
+        return None, row
+
+    _, rule = jax.lax.scan(probe, None, offs)
+    return rule
 
 
 class DownsampleRulebook(NamedTuple):
@@ -183,20 +182,22 @@ def build_down_rule(rb: DownsampleRulebook, child_grid: SparseGrid,
     child of a lexicographically sorted parent sequence is itself sorted.
     """
     out = rb.out_grid
-    rules = []
-    for cx in (0, 1):
-        for cy in (0, 1):
-            for cz in (0, 1):
-                child_xyz = out.coords[:, 1:] * 2 + jnp.array([cx, cy, cz], jnp.int32)
-                child_coords = jnp.concatenate([out.coords[:, :1], child_xyz], axis=1)
-                keys = encode_keys(child_coords, child_grid.spatial_shape)
-                keys = jnp.where(out.live_mask, keys, SENTINEL)
-                if child_table is not None:
-                    rules.append(jnp.take(child_table, keys, mode="fill",
-                                          fill_value=-1))
-                else:
-                    rules.append(lookup(child_grid.keys, keys))
-    return jnp.stack(rules, axis=0)
+    corners = kernel_offsets(2) - kernel_offsets(2).min()  # (8, 3) in {0,1}
+
+    def probe(_, corner):
+        child_xyz = out.coords[:, 1:] * 2 + corner[None, :]
+        child_coords = jnp.concatenate([out.coords[:, :1], child_xyz], axis=1)
+        keys = jnp.where(out.live_mask,
+                         encode_keys(child_coords, child_grid.spatial_shape),
+                         SENTINEL)
+        if child_table is not None:
+            row = jnp.take(child_table, keys, mode="fill", fill_value=-1)
+        else:
+            row = lookup(child_grid.keys, keys)
+        return None, row
+
+    _, rule = jax.lax.scan(probe, None, corners)
+    return rule
 
 
 def build_inverse_rule(rb: DownsampleRulebook) -> jnp.ndarray:
@@ -220,24 +221,27 @@ def subm_conv(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
     """Rulebook conv (XLA path): feats (V, Cin), weight (K, Cin, Cout),
     rule (K, V_out) -> (V_out, Cout).
 
-    Unrolled over the K kernel offsets: each step is a row gather + one large
-    GEMM, which XLA pipelines and tiles onto the MXU.  ``center_identity``
-    marks submanifold rules whose center column is the identity (skips one
-    gather); gather-form down/inverse rules pass False.
+    A lax.scan over the K kernel offsets: each step is a row gather + one
+    large GEMM, which XLA tiles onto the MXU.  Scan (not a python loop) keeps
+    the generated code K-independent — the model instantiates this fallback
+    inside ~65 lax.cond branches, and unrolled it contributed hundreds of MB
+    to the executable.  ``center_identity`` (the submanifold rule's center
+    column is the identity) is accepted for API parity but not exploited:
+    special-casing the center would split the scan and ~5x the code for a
+    ~4% FLOP saving on a rarely-taken fallback path.
     """
-    k = weight.shape[0]
+    del center_identity
     v = feats.shape[0]
-    center = k // 2 if center_identity else -1
-    acc = None
-    for j in range(k):
-        if j == center:
-            contrib = feats @ weight[center]
-        else:
-            idx = rule[j]
-            gathered = feats[jnp.clip(idx, 0, v - 1)]
-            gathered = jnp.where((idx >= 0)[:, None], gathered, 0.0)
-            contrib = gathered @ weight[j]
-        acc = contrib if acc is None else acc + contrib
+    weight = weight.astype(feats.dtype)
+
+    def body(acc, wr):
+        w_j, idx = wr
+        gathered = feats[jnp.clip(idx, 0, v - 1)]
+        gathered = jnp.where((idx >= 0)[:, None], gathered, 0.0)
+        return acc + gathered @ w_j, None
+
+    acc0 = jnp.zeros((rule.shape[1], weight.shape[2]), feats.dtype)
+    acc, _ = jax.lax.scan(body, acc0, (weight, rule))
     return jnp.where(live_mask[:, None], acc, 0.0)
 
 
