@@ -185,3 +185,20 @@ def test_capacity_overflow_guard():
                          jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
                          batch_size=1, voxel_capacity=8192, training=False)
     check_capacity(out, 8192, 2, context="test: ")
+
+
+def test_spans_overflow_guard():
+    """check_capacity raises SpansOverflow when the slim zeros-fallback
+    program flags a banded-window overflow (exactness guard)."""
+    import numpy as np
+    from treelearn_tpu.model.network import SpansOverflow, check_capacity
+
+    ok = {"n_voxels_per_level": np.array([100, 50]),
+          "spans_ok": np.array([True, True, True])}
+    check_capacity(ok, 512, 2, context="test: ")
+
+    bad = {"n_voxels_per_level": np.array([100, 50]),
+           "spans_ok": np.array([True, False, True])}
+    import pytest
+    with pytest.raises(SpansOverflow):
+        check_capacity(bad, 512, 2, context="test: ")

@@ -40,20 +40,23 @@ from ..ops.sparse import (
 )
 
 
-def _subm(x, weight, rule, live, fast: bool, spans=None):
+def _subm(x, weight, rule, live, fast, spans=None):
     """Submanifold conv dispatch: differentiable Pallas banded kernel
-    (ops/pallas_conv.py) on TPU, XLA gather path otherwise.  A submanifold
-    rule is its own transpose under kernel-offset mirroring.  ``spans`` is
-    the level-shared (lo, ok) precompute (ops/pallas_conv.py:rule_spans)."""
+    (ops/pallas_conv.py) when ``fast`` is truthy, XLA gather path otherwise.
+    ``fast="zeros"`` uses the zeros+host-retry out-of-window fallback (see
+    rule_conv_fast) instead of embedding the XLA branch.  A submanifold rule
+    is its own transpose under kernel-offset mirroring.  ``spans`` is the
+    level-shared (lo, ok) precompute (ops/pallas_conv.py:rule_spans)."""
     if fast:
         from ..ops.pallas_conv import rule_conv_ad
 
+        fb = "zeros" if fast == "zeros" else "xla"
         return rule_conv_ad(x, weight, rule, rule, live, live,
-                            spans, spans, True, True, None)
+                            spans, spans, True, True, None, fb)
     return subm_conv(x, weight.astype(x.dtype), rule, live)
 
 
-def _rule_conv(x, weight, rule, rule_t, live_out, live_in, fast: bool,
+def _rule_conv(x, weight, rule, rule_t, live_out, live_in, fast,
                spans=None, spans_t=None):
     """Gather-form strided/inverse conv dispatch (K=8 rules).  ``rule_t`` is
     the transposed rule of the pair (inverse rule for the strided conv and
@@ -61,8 +64,9 @@ def _rule_conv(x, weight, rule, rule_t, live_out, live_in, fast: bool,
     if fast:
         from ..ops.pallas_conv import rule_conv_ad
 
+        fb = "zeros" if fast == "zeros" else "xla"
         return rule_conv_ad(x, weight, rule, rule_t, live_out, live_in,
-                            spans, spans_t, False, False, None)
+                            spans, spans_t, False, False, None, fb)
     return subm_conv(x, weight.astype(x.dtype), rule, live_out,
                      center_identity=False)
 

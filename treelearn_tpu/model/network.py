@@ -47,10 +47,18 @@ class CapacityOverflow(RuntimeError):
     remaining shape hazard and it is detectable exactly)."""
 
 
+class SpansOverflow(RuntimeError):
+    """A rulebook's banded windows could not hold every gather for the slim
+    "zeros"-fallback program (fast_conv="zeros") — its output is invalid.
+    Callers catch this and re-run the batch with ``fast_conv=True`` (the
+    program that embeds the exact XLA fallback branch)."""
+
+
 def check_capacity(output, voxel_capacity: int, num_blocks: int,
                    context: str = "") -> None:
     """Host-side per-batch guard: compares the model's per-level active-voxel
-    counts against the static level capacities; raises CapacityOverflow."""
+    counts against the static level capacities (CapacityOverflow) and, for
+    the slim zeros-fallback program, the banded span flags (SpansOverflow)."""
     import numpy as np
 
     counts = np.asarray(output["n_voxels_per_level"])
@@ -61,6 +69,12 @@ def check_capacity(output, voxel_capacity: int, num_blocks: int,
                 f"{context}level {lvl}: {int(n)} active voxels > capacity "
                 f"{cap}. Increase voxel_capacity (currently {voxel_capacity}) "
                 f"or shrink the tile.")
+    spans_ok = output.get("spans_ok")
+    if spans_ok is not None and not bool(np.asarray(spans_ok).all()):
+        raise SpansOverflow(
+            f"{context}a rulebook overflowed its banded windows under the "
+            "slim fast_conv='zeros' program; re-run this batch with "
+            "fast_conv=True.")
 
 
 class TreeLearn:
@@ -186,7 +200,10 @@ class TreeLearn:
                                   batch_size=batch_size)
 
         if fast_conv is None:
-            fast_conv = jax.default_backend() == "tpu"
+            # default on TPU: the slim zeros-fallback program (executable is
+            # ~2/3 the size; span overflows surface via check_capacity and
+            # the caller retries with fast_conv=True)
+            fast_conv = "zeros" if jax.default_backend() == "tpu" else False
         x = vb.voxel_feats.astype(compute_dtype)
         new_state = {}
         frozen = lambda name: name in self.fixed_modules  # noqa: E731
@@ -227,6 +244,15 @@ class TreeLearn:
             # above its level capacity means voxels were silently dropped
             "n_voxels_per_level": jnp.stack([p.grid.n_active for p in plans]),
         }
+        if fast_conv == "zeros":
+            # span-ok flags of every rulebook: all True => the slim program's
+            # output is exact; any False => caller re-runs with fast_conv=True
+            flags = []
+            for p in plans:
+                for sp in (p.subm_spans, p.down_spans, p.inv_spans):
+                    if sp is not None:
+                        flags.append(sp[1])
+            output["spans_ok"] = jnp.stack(flags)
         return output, new_state
 
     def make_forward(self, *, batch_size: int, voxel_capacity: int,

@@ -212,6 +212,19 @@ def dbscan_cluster(points_xy: np.ndarray, eps: float, min_size: int,
     n = len(points_xy)
     if n == 0:
         return np.zeros(0, np.int64)
+
+    if jax.default_backend() == "tpu":
+        # banded Pallas found-bits kernel + host union-find: exact at any
+        # density, milliseconds on device.  The XLA formulation below is kept
+        # for CPU runs (small tests) — at (262144, 256) it crashed the TPU
+        # runtime outright (ops/pallas_cc.py docstring).
+        from .pallas_cc import cc_labels_banded
+
+        comp = cc_labels_banded(points_xy[:, :2].astype(np.float32),
+                                float(eps))
+        return relabel_components_np(comp, min_size, not_assigned_label,
+                                     start_num)
+
     size = _pow2(max(n, 1024))
     pts = np.zeros((size, 2), np.float32)
     pts[:n] = points_xy[:, :2]

@@ -298,12 +298,21 @@ def rule_conv_fast(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
                    live_mask: jnp.ndarray, tile: int = DEFAULT_TILE,
                    window: int = DEFAULT_WINDOW,
                    center_identity: bool = False,
-                   spans=None) -> jnp.ndarray:
+                   spans=None, fallback: str = "xla") -> jnp.ndarray:
     """Exact rulebook conv for any (K, V_out) rule — submanifold (K=27),
     gather-form strided (K=8), or inverse (K=8): Pallas banded path when every
     rulebook entry is in-window (the overwhelmingly common case on sorted
-    voxel data), XLA gather path otherwise — selected at runtime by
-    ``lax.cond``.  ``spans`` is the shared (lo, ok) from :func:`rule_spans`."""
+    voxel data), selected at runtime by ``lax.cond``.  ``spans`` is the
+    shared (lo, ok) from :func:`rule_spans`.
+
+    ``fallback`` picks the out-of-window branch:
+    * "xla": the scan-gather conv — always exact, costs ~1.5 MB of extra
+      executable per conv instance.
+    * "zeros": returns zeros; the CALLER must surface the span-ok flags to
+      the host (model output ``spans_ok``) and re-dispatch the batch on a
+      fallback program when any is False.  This keeps the hot program free
+      of ~40 never-taken branch bodies (executable upload to the tunneled
+      device is the end-to-end bottleneck)."""
     from .sparse import subm_conv
 
     v = feats.shape[0]
@@ -313,12 +322,16 @@ def rule_conv_fast(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
                          center_identity=center_identity)
 
     lo, ok = spans if spans is not None else rule_spans(rule, tile, window, v)
+    if fallback == "zeros":
+        slow = lambda f: jnp.zeros((v_out, weight.shape[2]), f.dtype)
+    else:
+        slow = lambda f: subm_conv(f, weight.astype(f.dtype), rule, live_mask,
+                                   center_identity=center_identity)
     return jax.lax.cond(
         ok,
         lambda f: subm_conv_banded(f, weight, rule, live_mask, tile, window,
                                    lo=lo),
-        lambda f: subm_conv(f, weight.astype(f.dtype), rule, live_mask,
-                            center_identity=center_identity),
+        slow,
         feats,
     )
 
@@ -355,26 +368,31 @@ def rule_conv_dw_xla(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
 # the strided pair), so dx is the same banded kernel with transposed weights,
 # and dW is one extra banded pass accumulating per-tile outer products.
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def rule_conv_ad(feats, weight, rule, rule_t, live_out, live_in,
                  spans, spans_t,
-                 mirror: bool, center_identity: bool, tile_window=None):
+                 mirror: bool, center_identity: bool, tile_window=None,
+                 fallback: str = "xla"):
     """Differentiable rulebook conv.  ``spans``/``spans_t`` are the shared
     (lo, ok) precomputes of ``rule``/``rule_t`` (see :func:`rule_spans`);
-    pass None to compute them inline."""
+    pass None to compute them inline.  ``fallback`` as in
+    :func:`rule_conv_fast`."""
     tile, window = tile_window or (DEFAULT_TILE, DEFAULT_WINDOW)
     return rule_conv_fast(feats, weight, rule, live_out, tile, window,
-                          center_identity=center_identity, spans=spans)
+                          center_identity=center_identity, spans=spans,
+                          fallback=fallback)
 
 
 def _rule_conv_ad_fwd(feats, weight, rule, rule_t, live_out, live_in,
-                      spans, spans_t, mirror, center_identity, tile_window):
+                      spans, spans_t, mirror, center_identity, tile_window,
+                      fallback):
     out = rule_conv_ad(feats, weight, rule, rule_t, live_out, live_in,
-                       spans, spans_t, mirror, center_identity, tile_window)
+                       spans, spans_t, mirror, center_identity, tile_window,
+                       fallback)
     return out, (feats, weight, rule, rule_t, live_out, live_in, spans, spans_t)
 
 
-def _rule_conv_ad_bwd(mirror, center_identity, tile_window, res, g):
+def _rule_conv_ad_bwd(mirror, center_identity, tile_window, fallback, res, g):
     tile, window = tile_window or (DEFAULT_TILE, DEFAULT_WINDOW)
     feats, weight, rule, rule_t, live_out, live_in, spans, spans_t = res
     g = jnp.where(live_out[:, None], g, 0)
@@ -382,7 +400,8 @@ def _rule_conv_ad_bwd(mirror, center_identity, tile_window, res, g):
     wt = weight[::-1] if mirror else weight
     wt = wt.transpose(0, 2, 1)
     dx = rule_conv_fast(g, wt, rule_t, live_in, tile, window,
-                        center_identity=center_identity, spans=spans_t)
+                        center_identity=center_identity, spans=spans_t,
+                        fallback=fallback)
     dx = dx.astype(feats.dtype)
 
     v = feats.shape[0]
@@ -390,11 +409,16 @@ def _rule_conv_ad_bwd(mirror, center_identity, tile_window, res, g):
     if v_out % tile == 0 and v >= window:
         lo, ok = (spans if spans is not None
                   else rule_spans(rule, tile, window, v))
+        if fallback == "zeros":
+            slow = lambda a: jnp.zeros(
+                (rule.shape[0], a[0].shape[1], a[1].shape[1]), jnp.float32)
+        else:
+            slow = lambda a: rule_conv_dw_xla(a[0], a[1], rule, live_out)
         dw = jax.lax.cond(
             ok,
             lambda a: rule_conv_dw_banded(a[0], a[1], rule, live_out, tile,
                                           window, lo=lo),
-            lambda a: rule_conv_dw_xla(a[0], a[1], rule, live_out),
+            slow,
             (feats, g),
         )
     else:

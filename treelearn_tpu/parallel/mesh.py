@@ -66,6 +66,7 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, *, batch_size: int,
             batch["batch_ids"], batch["valid"],
             batch_size=batch_size, voxel_capacity=voxel_capacity,
             training=True, compute_dtype=compute_dtype,
+            fast_conv=True if jax.default_backend() == "tpu" else None,
         )
         logits = output["semantic_prediction_logits"].astype(jnp.float32)
         offs = output["offset_predictions"].astype(jnp.float32)
@@ -140,6 +141,7 @@ def make_dp_inference_step(model, mesh: Mesh, *, batch_size: int,
             batch["batch_ids"], batch["valid"],
             batch_size=batch_size, voxel_capacity=voxel_capacity,
             training=False, compute_dtype=compute_dtype,
+            fast_conv=True if jax.default_backend() == "tpu" else None,
         )
         if inner_capacity is None:
             keys = ["semantic_prediction_logits", "offset_predictions",

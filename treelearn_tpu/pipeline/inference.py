@@ -152,11 +152,33 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
     tm.setdefault("steps", 0)
     tm.setdefault("flops_per_step", 0.0)
 
-    from ..model.network import check_capacity
+    from ..model.network import SpansOverflow, check_capacity
+
+    fallback_cache: Dict[tuple, callable] = {}
+
+    def _rerun_with_fallback(batch, inner_cap):
+        """A rulebook overflowed its banded windows under the slim program
+        (statistically never on sorted voxel data): re-run this batch on the
+        exact-XLA-fallback program, compiled lazily on first need."""
+        key = (batch["coords"].shape[0], batch["batch_size"], inner_cap)
+        if key not in fallback_cache:
+            if logger:
+                logger.info(f"span overflow: compiling fallback step {key}")
+            fallback_cache[key] = make_eval_step(
+                model, batch_size=batch["batch_size"],
+                voxel_capacity=voxel_capacity, compute_dtype=compute_dtype,
+                inner_capacity=inner_cap, need_backbone=need_backbone,
+                fast_conv=True)
+        jbatch = {k: jax.device_put(np.asarray(batch[k]))
+                  for k in _MODEL_INPUT_KEYS}
+        return fallback_cache[key](params, state, jbatch)
 
     def harvest(output, batch, inner_cap):
-        check_capacity(output, voxel_capacity, model.num_blocks,
-                       context="inference batch: ")
+        try:
+            check_capacity(output, voxel_capacity, model.num_blocks,
+                           context="inference batch: ")
+        except SpansOverflow:
+            output = _rerun_with_fallback(batch, inner_cap)
         n_keep = int(np.asarray(output["n_keep"]))
         if n_keep > inner_cap:  # unreachable: cap sized from the same masks
             raise RuntimeError(

@@ -100,6 +100,7 @@ def make_train_step(model, optimizer, *, batch_size: int, voxel_capacity: int,
                 batch["batch_ids"], batch["valid"],
                 batch_size=batch_size, voxel_capacity=voxel_capacity,
                 training=True, compute_dtype=compute_dtype,
+                fast_conv=True if jax.default_backend() == "tpu" else None,
             )
             loss, loss_dict = loss_from_output(output, batch)
             # reserved key: host-side overflow guard, popped before logging
@@ -117,7 +118,7 @@ def make_train_step(model, optimizer, *, batch_size: int, voxel_capacity: int,
 
 def make_eval_step(model, *, batch_size: int, voxel_capacity: int,
                    compute_dtype=jnp.float32, inner_capacity: Optional[int] = None,
-                   need_backbone: bool = True):
+                   need_backbone: bool = True, fast_conv=None):
     """Jitted forward step over one padded tile batch.
 
     With ``inner_capacity`` set, the step compacts its outputs to the
@@ -139,6 +140,7 @@ def make_eval_step(model, *, batch_size: int, voxel_capacity: int,
             batch["batch_ids"], batch["valid"],
             batch_size=batch_size, voxel_capacity=voxel_capacity,
             training=False, compute_dtype=compute_dtype,
+            fast_conv=fast_conv,
         )
         if inner_capacity is None:
             if not need_backbone:
@@ -159,6 +161,8 @@ def make_eval_step(model, *, batch_size: int, voxel_capacity: int,
             "n_voxels": output["n_voxels"],
             "n_voxels_per_level": output["n_voxels_per_level"],
         }
+        if "spans_ok" in output:
+            out["spans_ok"] = output["spans_ok"]
         if need_backbone:
             out["backbone_feats"] = output["backbone_feats"][idx].astype(jnp.float16)
         return out
