@@ -50,9 +50,14 @@ def test_compacted_matches_full(setup):
                                   inner_capacity=cap)
     out = compact_step(params, state, batch)
 
-    rows = np.asarray(out["rows"])
+    # rows are no longer shipped from the device: the host reproduces the
+    # selection (stable argsort of ~keep) — this test validates that the
+    # host-side reproduction indexes the device predictions correctly
+    idx = np.argsort(~keep, kind="stable")[:cap]
+    rows = np.where(keep[idx], idx, -1)
     sel = rows[rows >= 0]
     expected_rows = np.where(keep)[0]
+    assert "rows" not in out
     assert int(out["n_keep"]) == keep.sum()
     np.testing.assert_array_equal(np.sort(sel), expected_rows)
     # stable order: rows ascend

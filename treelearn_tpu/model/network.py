@@ -117,6 +117,16 @@ class TreeLearn:
         self.block_channels = [channels * (i + 1) for i in range(num_blocks)]
         self.in_channels = dim_coord + dim_feat
 
+    def config_key(self) -> tuple:
+        """Hashable architecture fingerprint: two TreeLearn instances with the
+        same key compile to identical programs (used to share compiled eval
+        steps across pipeline invocations in one process — re-uploading an
+        identical executable to the tunneled device costs seconds-to-minutes)."""
+        return (self.channels, self.num_blocks, self.kernel_size,
+                self.dim_coord, self.dim_feat, self.fixed_modules,
+                self.use_feats, self.use_coords, self.spatial_shape,
+                self.max_pts, self.voxel_size, self.block_reps)
+
     # -- parameters ---------------------------------------------------------
 
     def init(self, key):

@@ -500,6 +500,10 @@ def knn_classify(ref_pts: np.ndarray, ref_labels: np.ndarray,
                  query_pts: np.ndarray, k: int = 5) -> np.ndarray:
     """Majority vote over k nearest refs (reference propagate_preds /
     KNeighborsClassifier, util/pipeline.py:287-331)."""
+    if jax.default_backend() == "tpu":
+        from .pallas_knn import banded_knn_classify
+
+        return banded_knn_classify(ref_pts, ref_labels, query_pts, k=k)
     idx = grid_knn(ref_pts, query_pts, k=k)
     votes = np.sort(np.asarray(ref_labels)[idx], axis=1)  # (Q, k) ascending
     # vectorized row-mode: count matches within each row; argmax on the sorted

@@ -105,14 +105,21 @@ def _cc_kernel(lo_ref, n_live_ref, q_ref, refs_hbm, out_ref, window_buf,
                 bit = jnp.max(m.astype(jnp.float32), axis=1,
                               keepdims=True)              # (T, 1) any
                 k = band * 5 + dj_idx
-                acc_ref[:] += jnp.where(lane == k, bit, 0.0)
+                # accumulate as a bitmask: bit k contributes 2^k; lanes
+                # summed on the XLA side into one int32 per query
+                acc_ref[:] += jnp.where(lane == k, bit * float(1 << k), 0.0)
 
         out_ref[:] = acc_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window", "eps"))
-def _cc_pallas_call(lo, n_live, q_mat, ref_mat, *, tile, window, eps):
-    nq = q_mat.shape[0]
+def _cc_pallas_call(lo, n_live, q_small, ref_mat, *, tile, window, eps):
+    # device-side lane padding of the compact (Q, 8) query matrix, and the
+    # (Q, 128) bit-weighted accumulator reduced to ONE int32 bitmask per
+    # query before D2H (the full block was ~74 MB over the tunnel)
+    nq = q_small.shape[0]
+    q_mat = jnp.zeros((nq, 128), jnp.float32).at[:, :q_small.shape[1]].set(
+        q_small)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nq // tile,),
@@ -127,7 +134,7 @@ def _cc_pallas_call(lo, n_live, q_mat, ref_mat, *, tile, window, eps):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    acc = pl.pallas_call(
         functools.partial(_cc_kernel, window=window, tile=tile, eps=eps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nq, 128), jnp.float32),
@@ -136,6 +143,9 @@ def _cc_pallas_call(lo, n_live, q_mat, ref_mat, *, tile, window, eps):
         ),
         interpret=_INTERPRET,
     )(lo, n_live, q_mat, ref_mat)
+    # cast BEFORE summing: each lane (bit_k * 2^k, k <= 24) is f32-exact but
+    # the 25-bit sum can exceed f32's 24-bit integer range
+    return jnp.sum(acc[:, :25].astype(jnp.int32), axis=1)
 
 
 def _found_bits_numpy(pts_sorted, keys_sorted, ij_sorted, idx, eps,
@@ -171,13 +181,16 @@ def _found_bits_numpy(pts_sorted, keys_sorted, ij_sorted, idx, eps,
 
 def cc_labels_banded(points_xy: np.ndarray, eps: float,
                      tile: int = DEFAULT_TILE,
-                     window: int = DEFAULT_WINDOW) -> np.ndarray:
+                     window: int | None = None,
+                     max_window: int = DEFAULT_WINDOW) -> np.ndarray:
     """Connected components of the eps-ball graph over 2D ``points_xy``:
     (N,) int64 labels, each the minimum original index of its component
     (same contract as ops/cluster.py:connected_components_2d on live rows).
 
     Device: banded found-bits kernel (overflow tiles re-done by the numpy
-    fallback).  Host: clique-representative edges + scipy union-find.
+    fallback); ``window`` defaults to the smallest power of two covering the
+    widest actual band span (capped at ``max_window``).  Host:
+    clique-representative edges + scipy union-find.
     """
     pts = np.ascontiguousarray(points_xy[:, :2], np.float32)
     n = len(pts)
@@ -193,8 +206,28 @@ def cc_labels_banded(points_xy: np.ndarray, eps: float,
     spts = pts[order]
     sij = ij[order]
 
-    # feature-major ref matrix (8, V_pad): [valid, x, y, i, j]
+    ntiles = int(np.ceil(n / tile))
+    q_pad = ntiles * tile
+
+    k_min = skeys[np.arange(ntiles) * tile]
+    k_max = skeys[np.minimum((np.arange(ntiles) + 1) * tile, n) - 1]
+    lo_raw = np.zeros((5, ntiles), np.int64)
+    hi_raw = np.zeros((5, ntiles), np.int64)
+    for band, di in enumerate(range(-2, 3)):
+        lo_raw[band] = (np.searchsorted(skeys, k_min + di * _GRID_WIDTH - 2,
+                                        "left") // _ALIGN) * _ALIGN
+        hi_raw[band] = np.searchsorted(skeys, k_max + di * _GRID_WIDTH + 3,
+                                       "left")
+    if window is None:
+        span = int((hi_raw - lo_raw).max()) if ntiles else _ALIGN
+        window = int(min(max(1 << int(np.ceil(np.log2(max(span, _ALIGN)))),
+                             _ALIGN), max_window))
+
     v_pad = max(int(np.ceil(n / _ALIGN)) * _ALIGN, window)
+    lo = np.clip(lo_raw, 0, v_pad - window).astype(np.int32)
+    overflow_tiles = (hi_raw > lo + window).any(axis=0)
+
+    # feature-major ref matrix (8, V_pad): [valid, x, y, i, j]
     ref_mat = np.zeros((8, v_pad), np.float32)
     ref_mat[0, :n] = 1.0
     ref_mat[1, :n] = spts[:, 0]
@@ -202,30 +235,18 @@ def cc_labels_banded(points_xy: np.ndarray, eps: float,
     ref_mat[3, :n] = sij[:, 0].astype(np.float32)
     ref_mat[4, :n] = sij[:, 1].astype(np.float32)
 
-    ntiles = int(np.ceil(n / tile))
-    q_pad = ntiles * tile
-    q_mat = np.zeros((q_pad, 128), np.float32)
-    q_mat[:n, 0:2] = spts
-    q_mat[:n, 2] = sij[:, 0].astype(np.float32)
-    q_mat[:n, 3] = sij[:, 1].astype(np.float32)
-    q_mat[:n, 4] = 1.0
+    # compact query matrix (Q, 8): [x, y, i, j, valid, 0, 0, 0]
+    q_small = np.zeros((q_pad, 8), np.float32)
+    q_small[:n, 0:2] = spts
+    q_small[:n, 2] = sij[:, 0].astype(np.float32)
+    q_small[:n, 3] = sij[:, 1].astype(np.float32)
+    q_small[:n, 4] = 1.0
 
-    k_min = skeys[np.arange(ntiles) * tile]
-    k_max = skeys[np.minimum((np.arange(ntiles) + 1) * tile, n) - 1]
-    lo = np.zeros((5, ntiles), np.int32)
-    overflow_tiles = np.zeros(ntiles, bool)
-    for band, di in enumerate(range(-2, 3)):
-        lo_b = np.searchsorted(skeys, k_min + di * _GRID_WIDTH - 2, "left")
-        hi_b = np.searchsorted(skeys, k_max + di * _GRID_WIDTH + 3, "left")
-        lo_b = (lo_b // _ALIGN) * _ALIGN
-        lo_b = np.clip(lo_b, 0, v_pad - window)
-        overflow_tiles |= hi_b > lo_b + window
-        lo[band] = lo_b
-
-    out = np.asarray(_cc_pallas_call(
-        jnp.asarray(lo), jnp.asarray([n], np.int32), jnp.asarray(q_mat),
+    masks = np.asarray(_cc_pallas_call(
+        jnp.asarray(lo), jnp.asarray([n], np.int32), jnp.asarray(q_small),
         jnp.asarray(ref_mat), tile=tile, window=window, eps=float(eps)))
-    found = out[:n, :25] > 0.5
+    found = (((masks[:n, None] >> np.arange(25)[None, :]) & 1)
+             .astype(bool))
 
     over = np.repeat(overflow_tiles, tile)[:n]
     if over.any():

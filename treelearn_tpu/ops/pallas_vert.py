@@ -134,8 +134,14 @@ def _vert_kernel(lo_ref, n_live_ref, q_ref, refs_hbm, out_ref, window_buf,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window", "radius"))
-def _vert_pallas_call(lo, n_live, q_mat, ref_mat, *, tile, window, radius):
-    nq = q_mat.shape[0]
+def _vert_pallas_call(lo, n_live, q_small, ref_mat, *, tile, window, radius):
+    # pad the compact (Q, 8) host query matrix to the (Q, 128) lane layout on
+    # device (H2D of the 128-wide layout shipped 16x the bytes for nothing),
+    # and reduce the kernel's (Q, 128) moment block to the two (Q,) outputs
+    # before anything crosses the tunnel back.
+    nq = q_small.shape[0]
+    q_mat = jnp.zeros((nq, 128), jnp.float32).at[:, :q_small.shape[1]].set(
+        q_small)
     ntiles = nq // tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -174,19 +180,23 @@ def _vert_pallas_call(lo, n_live, q_mat, ref_mat, *, tile, window, radius):
     cov_yz = acc[:, 8] / c - ey * ez
     cov_zz = acc[:, 9] / c - ez * ez
     nz = verticality_from_cov6(cov_xx, cov_xy, cov_xz, cov_yy, cov_yz, cov_zz)
-    return jnp.stack([1.0 - nz, cnt], axis=1)
+    return jnp.stack([1.0 - nz, cnt], axis=1).astype(jnp.float16)
 
 
 def verticality_banded(points: np.ndarray, queries: np.ndarray,
                        search_radius: float, tile: int = DEFAULT_TILE,
-                       window: int = DEFAULT_WINDOW):
+                       window: int | None = None,
+                       max_window: int = DEFAULT_WINDOW):
     """Exact radius-neighborhood verticality of ``queries`` against ``points``.
 
     Host orchestration: numpy sorts both sides by xy cell key and computes the
     per-(band, tile) window starts with vectorized searchsorted; the device
-    only runs the dense banded kernel.  Returns (vert (Q,), cnt (Q,),
-    overflow_mask (Q,) bool) in the original query order — entries of
-    overflowing tiles are NOT computed (caller routes them to the XLA pass).
+    only runs the dense banded kernel.  ``window`` defaults to the smallest
+    power of two covering the widest actual band span (capped at
+    ``max_window`` — window width is pure DMA cost).  Returns (vert (Q,),
+    cnt (Q,), overflow_mask (Q,) bool) in the original query order — entries
+    of overflowing tiles are NOT computed (caller routes them to the XLA
+    pass).
     """
     points = np.asarray(points, np.float32)
     queries = np.asarray(queries, np.float32)
@@ -207,42 +217,50 @@ def verticality_banded(points: np.ndarray, queries: np.ndarray,
     skeys_r = keys_r[order_r]
     skeys_q = keys_q[order_q]
 
-    # feature-major ref matrix (8, V_pad): [valid, x, y, z, i, j]
+    ntiles = int(np.ceil(nq / tile))
+    q_pad = ntiles * tile
+
+    # per-(band, tile) window spans over the sorted refs
+    k_min = skeys_q[np.arange(ntiles) * tile]
+    last = np.minimum((np.arange(ntiles) + 1) * tile, nq) - 1
+    k_max = skeys_q[last]
+    lo_raw = np.zeros((3, ntiles), np.int64)
+    hi_raw = np.zeros((3, ntiles), np.int64)
+    for band, di in enumerate((-1, 0, 1)):
+        lo_raw[band] = (np.searchsorted(skeys_r, k_min + di * width - 1,
+                                        side="left") // _ALIGN) * _ALIGN
+        hi_raw[band] = np.searchsorted(skeys_r, k_max + di * width + 1,
+                                       side="right")
+    if window is None:
+        span = int((hi_raw - lo_raw).max()) if ntiles else _ALIGN
+        window = int(min(max(1 << int(np.ceil(np.log2(max(span, _ALIGN)))),
+                             _ALIGN), max_window))
+
     v_pad = max(int(np.ceil(nr / _ALIGN)) * _ALIGN, window)
+    lo = np.clip(lo_raw, 0, v_pad - window).astype(np.int32)
+    overflow_tiles = (hi_raw > lo + window).any(axis=0)
+
+    # feature-major ref matrix (8, V_pad): [valid, x, y, z, i, j]
     ref_mat = np.zeros((8, v_pad), np.float32)
     ref_mat[0, :nr] = 1.0
     ref_mat[1:4, :nr] = points[order_r].T
     ref_mat[4, :nr] = ij_r[order_r, 0].astype(np.float32)
     ref_mat[5, :nr] = ij_r[order_r, 1].astype(np.float32)
 
-    ntiles = int(np.ceil(nq / tile))
-    q_pad = ntiles * tile
-    q_mat = np.zeros((q_pad, 128), np.float32)
-    q_mat[:nq, 0:3] = queries[order_q]
-    q_mat[:nq, 3] = ij_q[order_q, 0].astype(np.float32)
-    q_mat[:nq, 4] = ij_q[order_q, 1].astype(np.float32)
-    q_mat[:nq, 5] = 1.0
-
-    # per-(band, tile) windows over the sorted refs
-    k_min = skeys_q[np.arange(ntiles) * tile]
-    last = np.minimum((np.arange(ntiles) + 1) * tile, nq) - 1
-    k_max = skeys_q[last]
-    lo = np.zeros((3, ntiles), np.int32)
-    overflow_tiles = np.zeros(ntiles, bool)
-    for band, di in enumerate((-1, 0, 1)):
-        lo_b = np.searchsorted(skeys_r, k_min + di * width - 1, side="left")
-        hi_b = np.searchsorted(skeys_r, k_max + di * width + 1, side="right")
-        lo_b = (lo_b // _ALIGN) * _ALIGN
-        lo_b = np.clip(lo_b, 0, v_pad - window)
-        overflow_tiles |= hi_b > lo_b + window
-        lo[band] = lo_b
+    # compact query matrix (Q, 8): [x, y, z, i, j, valid, 0, 0] — padded to
+    # the (Q, 128) lane layout on device, not on the host->device wire
+    q_small = np.zeros((q_pad, 8), np.float32)
+    q_small[:nq, 0:3] = queries[order_q]
+    q_small[:nq, 3] = ij_q[order_q, 0].astype(np.float32)
+    q_small[:nq, 4] = ij_q[order_q, 1].astype(np.float32)
+    q_small[:nq, 5] = 1.0
 
     n_live = np.asarray([nq], np.int32)
     out = _vert_pallas_call(jnp.asarray(lo), jnp.asarray(n_live),
-                            jnp.asarray(q_mat), jnp.asarray(ref_mat),
+                            jnp.asarray(q_small), jnp.asarray(ref_mat),
                             tile=tile, window=window,
                             radius=float(search_radius))
-    out_np = np.asarray(out)
+    out_np = np.asarray(out, np.float32)
 
     vert_sorted = out_np[:nq, 0]
     cnt_sorted = out_np[:nq, 1]

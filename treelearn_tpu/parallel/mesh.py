@@ -149,12 +149,12 @@ def make_dp_inference_step(model, mesh: Mesh, *, batch_size: int,
             if need_backbone:
                 keys.append("backbone_feats")
             return {k: output[k][None] for k in keys}
+        # rows not shipped: host recomputes the identical stable-argsort
+        # selection from its own masks (see train/loop.py:make_eval_step)
         keep = batch["masks_inner"] & batch["valid"]
         order = jnp.argsort(jnp.logical_not(keep), stable=True)
         idx = order[:inner_capacity]
-        sel = keep[idx]
         out = {
-            "rows": jnp.where(sel, idx.astype(jnp.int32), -1),
             "n_keep": jnp.sum(keep, dtype=jnp.int32),
             "semantic_prediction_logits":
                 output["semantic_prediction_logits"][idx].astype(jnp.float16),

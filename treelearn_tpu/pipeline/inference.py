@@ -34,6 +34,12 @@ _SENTINEL = object()
 _MODEL_INPUT_KEYS = ("coords", "input_feats", "batch_ids", "valid",
                      "masks_inner")
 
+# process-wide compiled-step cache: keyed on the model's architecture
+# fingerprint + bucket shapes, so repeated pipeline invocations in one
+# process (multi-plot serving, the two-pass bench) reuse the uploaded
+# executable instead of re-paying the tunnel upload (6-490 s observed)
+_PROCESS_STEP_CACHE: Dict[tuple, callable] = {}
+
 
 def _pow2(x: int) -> int:
     return 1 << int(np.ceil(np.log2(max(int(x), 1))))
@@ -141,7 +147,7 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         params = jax.device_put(params, dev)
         state = jax.device_put(state, dev)
 
-    step_cache: Dict[tuple, callable] = {}
+    step_cache = _PROCESS_STEP_CACHE
     outs = {k: [] for k in ("semantic_prediction_logits", "semantic_labels",
                             "offset_predictions", "offset_labels", "coords",
                             "instance_labels", "backbone_feats", "input_feats")}
@@ -183,7 +189,13 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         if n_keep > inner_cap:  # unreachable: cap sized from the same masks
             raise RuntimeError(
                 f"inner compaction overflow: {n_keep} > {inner_cap}")
-        rows = np.asarray(output["rows"])
+        # reproduce the device's compaction selection from the host-side
+        # masks (stable argsort of a boolean key is deterministic) instead of
+        # shipping the (N,) rows array over the slow D2H direction
+        keep = np.asarray(batch["masks_inner"]) & np.asarray(batch["valid"])
+        idx = np.argsort(~keep, kind="stable")[:inner_cap]
+        sel_mask = keep[idx]
+        rows = np.where(sel_mask, idx, -1)
         sel = rows[rows >= 0]
         got = rows >= 0
         coords = np.asarray(batch["coords"])[sel] + np.asarray(batch["centers"])[sel]
@@ -253,10 +265,11 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
     for jbatch, batch in _prefetch(dataloader):
         n = batch["coords"].shape[0]
         inner_cap = _inner_cap_bucket(_inner_count(batch), n)
-        key = (n, batch["batch_size"], inner_cap)
+        key = (model.config_key(), voxel_capacity, str(compute_dtype),
+               need_backbone, n, batch["batch_size"], inner_cap)
         if key not in step_cache:
             if logger:
-                logger.info(f"compiling eval step for bucket {key}")
+                logger.info(f"compiling eval step for bucket {key[-3:]}")
             t0 = time.time()
             step = make_eval_step(model, batch_size=batch["batch_size"],
                                   voxel_capacity=voxel_capacity,
@@ -274,7 +287,7 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
             except Exception:
                 pass
             if logger:
-                logger.info(f"compiled bucket {key} in {dt:.1f}s")
+                logger.info(f"compiled bucket {key[-3:]} in {dt:.1f}s")
             step_cache[key] = compiled
         eval_step = step_cache[key]
 
