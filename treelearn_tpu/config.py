@@ -91,6 +91,10 @@ def get_config(config_path: str) -> ConfigDict:
     named top-level keys of the main config, but the main config's *nested*
     modifications survive because they were merged into the include first.
     """
+    return ConfigDict.from_dict(_load_resolved(config_path))
+
+
+def _load_resolved(config_path: str) -> dict:
     main_cfg = load_yaml_file(config_path)
     default_args = main_cfg.pop("default_args", None)
 
@@ -101,12 +105,15 @@ def get_config(config_path: str) -> ConfigDict:
                 alt = osp.join(osp.dirname(osp.dirname(osp.dirname(osp.abspath(config_path)))), path)
                 if osp.exists(alt):
                     path = alt
-            default_config = load_yaml_file(path)
-            for key in main_cfg:
-                if key in default_config:
-                    _merge_overrides(default_config[key], main_cfg[key])
+            # includes may themselves have default_args (an extension over the
+            # reference's flat includes; lets user configs build on the
+            # shipped task configs)
+            default_config = _load_resolved(path)
+            _merge_overrides(default_config,
+                             {k: v for k, v in main_cfg.items()
+                              if k in default_config})
             main_cfg.update(default_config)
-    return ConfigDict.from_dict(main_cfg)
+    return main_cfg
 
 
 def get_args(args=None) -> argparse.Namespace:

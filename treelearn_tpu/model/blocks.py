@@ -355,7 +355,12 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
             table = build_dense_table(g, table_size)
         rule = build_subm_rulebook(g, kernel_size, dense_table=table)
         if lvl < num_levels - 1:
-            rb = build_downsample(g, int(capacities[lvl + 1]))
+            out_table = None
+            if shape is not None:
+                half = tuple(s2 // 2 for s2 in shape)
+                out_table = batch_size * half[0] * half[1] * half[2]
+            rb = build_downsample(g, int(capacities[lvl + 1]),
+                                  out_table_size=out_table)
             down_rule = build_down_rule(rb, g, child_table=table)
             inv_rule = build_inverse_rule(rb)
             plans.append(LevelPlan(

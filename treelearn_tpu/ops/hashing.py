@@ -81,6 +81,35 @@ def sort_unique(keys: jnp.ndarray, capacity: int):
     return unique_keys, inverse, n_unique
 
 
+def table_unique(keys: jnp.ndarray, capacity: int, table_size: int):
+    """:func:`sort_unique` without the sort, for keys with a STATIC bounded
+    range: scatter an occupancy bit per key into a dense table, prefix-sum it,
+    and read each key's rank.  Table index order == key order, so the unique
+    set comes out ascending exactly like the sorted variant.
+
+    One argsort per U-Net level was ~3.3 MB of TPU code and ~1 ms; the
+    occupancy pass is a scatter + cumsum over the (static) key space, which
+    the downsample levels already materialize as their probe tables.
+
+    Same contract as :func:`sort_unique`; keys >= table_size (including
+    SENTINEL) count as invalid.
+    """
+    n = keys.shape[0]
+    occ = jnp.zeros((table_size,), jnp.int32).at[keys].set(1, mode="drop")
+    cum = jnp.cumsum(occ)
+    n_unique = cum[-1].astype(jnp.int32)
+    slot = jnp.take(cum - 1, keys, mode="fill",
+                    fill_value=capacity).astype(jnp.int32)
+    valid = (keys >= 0) & (keys < table_size)
+    inverse = jnp.where(valid & (slot < capacity), slot, capacity)
+    unique_keys = (
+        jnp.full((capacity,), SENTINEL, dtype=jnp.int32)
+        .at[inverse]
+        .set(keys, mode="drop")
+    )
+    return unique_keys, inverse, n_unique
+
+
 def lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
     """Binary-search membership: index of each query in ``sorted_keys`` or -1.
 

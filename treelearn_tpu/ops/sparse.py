@@ -28,7 +28,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .hashing import SENTINEL, decode_keys, encode_keys, lookup, sort_unique
+from .hashing import (SENTINEL, decode_keys, encode_keys, lookup,
+                      sort_unique, table_unique)
 
 
 class SparseGrid(NamedTuple):
@@ -144,7 +145,8 @@ class DownsampleRulebook(NamedTuple):
     out_grid: SparseGrid
 
 
-def build_downsample(grid: SparseGrid, out_capacity: int) -> DownsampleRulebook:
+def build_downsample(grid: SparseGrid, out_capacity: int,
+                     out_table_size: Optional[int] = None) -> DownsampleRulebook:
     """Output set + rulebook of a SparseConv3d(k=2, s=2, pad=0).
 
     spconv's valid-window rule: output dim = floor((in - 2) / 2) + 1 = in // 2;
@@ -152,6 +154,10 @@ def build_downsample(grid: SparseGrid, out_capacity: int) -> DownsampleRulebook:
     no valid window and are dropped.  This is what makes the reference's
     "reach zero!!!" failure (util/pipeline.py:91-97) structurally impossible
     here: shapes are static and the drop is just a masked scatter.
+
+    With a static spatial shape, ``out_table_size`` (= batch * prod(shape//2))
+    switches the parent dedup from argsort to the sort-free occupancy-table
+    pass (ops/hashing.py:table_unique).
     """
     out_shape = grid.spatial_shape // 2
     child = grid.coords  # (V_in, 4)
@@ -161,7 +167,11 @@ def build_downsample(grid: SparseGrid, out_capacity: int) -> DownsampleRulebook:
     parent_keys = encode_keys(parent_coords, out_shape)
     parent_keys = jnp.where(valid, parent_keys, SENTINEL)
 
-    unique_keys, parent_idx, n_out = sort_unique(parent_keys, out_capacity)
+    if out_table_size is not None:
+        unique_keys, parent_idx, n_out = table_unique(
+            parent_keys, out_capacity, out_table_size)
+    else:
+        unique_keys, parent_idx, n_out = sort_unique(parent_keys, out_capacity)
     parent_idx = jnp.where(parent_idx < out_capacity, parent_idx, -1)
 
     corner_xyz = child[:, 1:] - parent_xyz * 2  # each component in {0, 1}
