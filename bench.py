@@ -139,18 +139,28 @@ def main():
     tm = result.get("model_timings", {})
     model_line = {}
     if tm.get("steps"):
-        compute_s = max(tm["device_s"], 1e-9)  # compile time is excluded upstream
+        from treelearn_tpu.model.network import analytic_model_flops
+
+        compute_s = max(tm["device_s"], 1e-9)  # steady pass: no compile/upload
         model_mpts = tm["points"] / compute_s / 1e6
-        mfu = (tm["flops_per_step"] * tm["steps"] / compute_s
-               / V5E_BF16_PEAK_FLOPS) if tm.get("flops_per_step") else None
+        mfu = None
+        if tm.get("n_vox_levels") is not None:
+            # XLA cost analysis cannot see scan/Pallas FLOPs; use the
+            # analytic per-level conv footprint instead
+            flops_per_step = analytic_model_flops(
+                tm["n_vox_levels"], tm["points"] // tm["steps"],
+                channels=config.model.get("channels", 32),
+                num_blocks=config.model.get("num_blocks", 7))
+            mfu = (flops_per_step * tm["steps"] / compute_s
+                   / V5E_BF16_PEAK_FLOPS)
         log(f"model: {tm['steps']} steps, compile {tm['compile_s']:.1f}s, "
-            f"compute {compute_s:.2f}s -> {model_mpts:.1f} Mpts/s model-only"
+            f"device {compute_s:.2f}s -> {model_mpts:.1f} Mpts/s model-only"
             + (f", MFU ~{100 * mfu:.1f}%" if mfu is not None else ""))
         model_line = {
             "model_only_mpts_per_sec": round(model_mpts, 2),
             "model_compile_seconds": round(tm["compile_s"], 1),
-            "model_flops_per_step": tm.get("flops_per_step"),
-            **({"model_mfu": round(mfu, 4)} if mfu is not None else {}),
+            **({"model_flops_per_step": flops_per_step,
+                "model_mfu": round(mfu, 4)} if mfu is not None else {}),
         }
 
     mpts = n_points / elapsed / 1e6

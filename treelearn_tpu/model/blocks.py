@@ -62,11 +62,12 @@ def _rule_conv(x, weight, rule, rule_t, live_out, live_in, fast,
     the transposed rule of the pair (inverse rule for the strided conv and
     vice versa), used by the custom VJP."""
     if fast:
-        from ..ops.pallas_conv import rule_conv_ad
+        from ..ops.pallas_conv import DOWN_TILE, DOWN_WINDOW, rule_conv_ad
 
         fb = "zeros" if fast == "zeros" else "xla"
         return rule_conv_ad(x, weight, rule, rule_t, live_out, live_in,
-                            spans, spans_t, False, False, None, fb)
+                            spans, spans_t, False, False,
+                            (DOWN_TILE, DOWN_WINDOW), fb)
     return subm_conv(x, weight.astype(x.dtype), rule, live_out,
                      center_identity=False)
 
@@ -338,12 +339,13 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
     level, O(1) probes; otherwise binary search over sorted keys.
     """
     from ..ops.sparse import build_dense_table
-    from ..ops.pallas_conv import DEFAULT_TILE, DEFAULT_WINDOW, rule_spans
+    from ..ops.pallas_conv import (DEFAULT_TILE, DEFAULT_WINDOW, DOWN_TILE,
+                                   DOWN_WINDOW, rule_spans)
 
-    def spans_for(rule, v_in):
-        if rule.shape[1] % DEFAULT_TILE != 0 or v_in < DEFAULT_WINDOW:
+    def spans_for(rule, v_in, tile=DEFAULT_TILE, window=DEFAULT_WINDOW):
+        if rule.shape[1] % tile != 0 or v_in < window:
             return None  # rule_conv_fast uses the XLA path for these shapes
-        return rule_spans(rule, DEFAULT_TILE, DEFAULT_WINDOW, v_in)
+        return rule_spans(rule, tile, window, v_in)
 
     plans = []
     g = grid
@@ -367,8 +369,10 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
                 grid=g, subm_rule=rule, down=rb,
                 down_rule=down_rule, inv_rule=inv_rule,
                 subm_spans=spans_for(rule, g.capacity),
-                down_spans=spans_for(down_rule, g.capacity),
-                inv_spans=spans_for(inv_rule, rb.out_grid.capacity)))
+                down_spans=spans_for(down_rule, g.capacity,
+                                     DOWN_TILE, DOWN_WINDOW),
+                inv_spans=spans_for(inv_rule, rb.out_grid.capacity,
+                                    DOWN_TILE, DOWN_WINDOW)))
             g = rb.out_grid
             if shape is not None:
                 shape = tuple(s // 2 for s in shape)

@@ -77,6 +77,38 @@ def check_capacity(output, voxel_capacity: int, num_blocks: int,
             "fast_conv=True.")
 
 
+def analytic_model_flops(n_vox_per_level, n_points: int, channels: int = 32,
+                         num_blocks: int = 7, block_reps: int = 2,
+                         kernel_size: int = 3, in_channels: int = 4) -> float:
+    """Upper-bound useful FLOPs of one forward pass, from the per-level
+    active-voxel counts (model output ``n_voxels_per_level``).
+
+    XLA's cost analysis cannot see FLOPs inside scanned/Pallas bodies, so the
+    bench computes the MFU numerator analytically: full k^3 kernel footprint
+    per active voxel (slight overcount at sparse boundaries), all conv +
+    head GEMMs, 2 FLOPs per MAC.
+    """
+    import numpy as np
+
+    k = kernel_size ** 3
+    v = [float(x) for x in np.asarray(n_vox_per_level)]
+    chans = [channels * (i + 1) for i in range(num_blocks)]
+    flops = v[0] * k * in_channels * chans[0] * 2          # input conv
+    for lvl, c in enumerate(chans):
+        subm = 2 * block_reps * v[lvl] * k * c * c * 2     # head blocks
+        if lvl < num_blocks - 1:
+            subm += v[lvl] * k * (2 * c) * c * 2           # tail b0 conv2
+            subm += (2 * block_reps - 1) * v[lvl] * k * c * c * 2
+            c_next = chans[lvl + 1]
+            subm += v[lvl + 1] * 8 * c * c_next * 2        # down conv
+            subm += v[lvl] * 8 * c_next * c * 2            # inverse conv
+            subm += v[lvl] * (2 * c) * c * 2               # i_branch 1x1
+        flops += subm
+    heads = n_points * (channels * channels + channels * 2
+                        + channels * channels + channels * 3) * 2
+    return flops + heads
+
+
 class TreeLearn:
     """Configuration container + pure init/apply for the network.
 

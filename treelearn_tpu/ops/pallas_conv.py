@@ -33,8 +33,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE = 256
+# (tile, window) = (128, 512): selection-GEMM FLOPs scale with window alone
+# (T cancels), while within-tile index spread scales with tile — T=256 tiles
+# overflowed 512-windows on centered plots (L0/L1 spread > 256), silently
+# routing the HOT submanifold convs to the fallback.  T=128 doubles window
+# DMA traffic but keeps every level on the banded path.
+DEFAULT_TILE = 128
 DEFAULT_WINDOW = 512
+# strided/inverse rules map between levels whose sizes differ 2x, so a tile
+# of T outputs gathers from ~2T inputs plus full-row skips at y-parity
+# boundaries — their windows must be much wider than the submanifold ones
+# (measured: (128, 2048) covers every level of the bench plot; (256, 512)
+# NEVER covered the down rules, silently routing them to the fallback)
+DOWN_TILE = 128
+DOWN_WINDOW = 2048
 _ALIGN = 16  # bf16 sublane tile: DMA slice starts must be provably aligned
 
 # interpreter mode for CPU-side testing of the kernels

@@ -185,6 +185,10 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
                            context="inference batch: ")
         except SpansOverflow:
             output = _rerun_with_fallback(batch, inner_cap)
+        counts = np.asarray(output["n_voxels_per_level"])
+        prev = tm.get("n_vox_levels")
+        tm["n_vox_levels"] = (counts if prev is None
+                              else np.maximum(prev, counts))
         n_keep = int(np.asarray(output["n_keep"]))
         if n_keep > inner_cap:  # unreachable: cap sized from the same masks
             raise RuntimeError(
