@@ -174,7 +174,11 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
 
             vs = float(config.model.get("voxel_size", 0.1))
             ext = vox_pts.max(axis=0) - vox_pts.min(axis=0)
-            ss = [int(np.ceil(e / vs)) + 2 for e in ext]
+            # bucket the spatial shape to multiples of 64: plots of similar
+            # extent then share ONE compiled program (an exact per-plot shape
+            # would recompile + re-upload the executable for every plot —
+            # the dominant cost on a tunneled device)
+            ss = [int(np.ceil((np.ceil(e / vs) + 2) / 64)) * 64 for e in ext]
             logger.info(f"whole-plot inference: {len(vox_pts)} voxels, "
                         f"spatial_shape {ss}")
             model_cfg = dict(config.model)
