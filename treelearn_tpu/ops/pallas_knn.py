@@ -173,15 +173,21 @@ def _knn_pallas_call(lo, n_live, q_small, ref_mat, *, tile, window, k):
     counts_sorted = jnp.take_along_axis(counts, order, axis=1)
     winner = jnp.take_along_axis(
         votes_sorted, jnp.argmax(counts_sorted, axis=1)[:, None], axis=1)[:, 0]
-    return winner.astype(jnp.int32), n_found
+    # pack (winner, found>=k) into ONE int32 per query: D2H bytes are the
+    # scarce resource (see module docstring); winner labels are >= 0 and far
+    # below 2^30
+    packed = jnp.where(n_found >= k,
+                       winner.astype(jnp.int32) | jnp.int32(1 << 30),
+                       jnp.int32(0))
+    return packed
 
 
 def _banded_knn_pass(ref_pts, ref_labels, query_pts, cell, k,
                      tile=DEFAULT_TILE):
-    """One banded pass: (winner_label (Q,), n_found (Q,), overflow_frac)
+    """One banded pass: (winner_label (Q,), done (Q,) bool, overflow_frac)
     with neighbors restricted to distance <= cell; the k-NN majority vote
-    runs on device.  Overflowing tiles report 0 found (their queries
-    escalate)."""
+    runs on device and the result ships as one packed int32 per query.
+    Overflowing tiles report not-done (their queries escalate)."""
     nr, nq = len(ref_pts), len(query_pts)
     width = _GRID_WIDTH
 
@@ -234,19 +240,19 @@ def _banded_knn_pass(ref_pts, ref_labels, query_pts, cell, k,
     q_small[:nq, 4] = ij_q[order_q, 1].astype(np.float32)
     q_small[:nq, 5] = 1.0
 
-    winner, n_found = _knn_pallas_call(
+    packed = np.asarray(_knn_pallas_call(
         jnp.asarray(lo), jnp.asarray([nq], np.int32), jnp.asarray(q_small),
-        jnp.asarray(ref_mat), tile=tile, window=window, k=int(k))
-    winner = np.asarray(winner)[:nq]
-    n_found = np.asarray(n_found)[:nq]
+        jnp.asarray(ref_mat), tile=tile, window=window, k=int(k)))[:nq]
+    done = packed >= (1 << 30)
+    winner = np.where(done, packed & ~(1 << 30), -1)
 
     # queries of overflowing tiles saw clipped windows: force re-run
     over = np.repeat(overflow_tiles, tile)[:nq]
-    n_found = np.where(over, 0, n_found)
+    done &= ~over
 
     inv = np.empty(nq, np.int64)
     inv[order_q] = np.arange(nq)
-    return (winner[inv].astype(np.int64), n_found[inv],
+    return (winner[inv].astype(np.int64), done[inv],
             float(overflow_tiles.mean()) if ntiles else 0.0)
 
 
@@ -277,9 +283,8 @@ def banded_knn_classify(ref_pts: np.ndarray, ref_labels: np.ndarray,
             if not need.any():
                 break
             idx = np.where(need)[0]
-            winner, n_found, overflow_frac = _banded_knn_pass(
+            winner, done, overflow_frac = _banded_knn_pass(
                 ref_pts, enc, query_pts[idx], float(cell), k)
-            done = n_found >= k
             result[idx[done]] = winner[done]
             need[idx] = ~done
             if overflow_frac > 0.5:
