@@ -46,3 +46,20 @@ def download_data(name: str, root: str, logger=None):
             logger.info(f"downloading {fname} ...")
         urllib.request.urlretrieve(url, dst)
     return root
+
+
+def main(argv=None):
+    """CLI parity with the reference downloader (download.py:121-134):
+    ``python -m treelearn_tpu.utils.download --dataset_name X --root_folder Y``."""
+    import argparse
+
+    parser = argparse.ArgumentParser("treelearn_tpu downloader")
+    parser.add_argument("--dataset_name", required=True,
+                        choices=sorted(DATASETS))
+    parser.add_argument("--root_folder", required=True)
+    args = parser.parse_args(argv)
+    download_data(args.dataset_name, args.root_folder)
+
+
+if __name__ == "__main__":
+    main()
