@@ -141,7 +141,11 @@ def main():
     if tm.get("steps"):
         from treelearn_tpu.model.network import analytic_model_flops
 
-        compute_s = max(tm["device_s"], 1e-9)  # steady pass: no compile/upload
+        # pure_step_s: one re-dispatched step with no host transfer — the
+        # honest compute number on a tunnel whose D2H stalls dominate
+        # device_s.  Falls back to device_s when unavailable.
+        per_step = tm.get("pure_step_s") or max(tm["device_s"], 1e-9) / tm["steps"]
+        compute_s = per_step * tm["steps"]
         model_mpts = tm["points"] / compute_s / 1e6
         mfu = None
         if tm.get("n_vox_levels") is not None:

@@ -172,8 +172,13 @@ def main():
                                      batch_size=config.dataloader.train.batch_size,
                                      voxel_capacity=voxel_capacity,
                                      compute_dtype=compute_dtype)
-    eval_step = make_eval_step(model, batch_size=config.dataloader.test.batch_size,
-                               voxel_capacity=voxel_capacity)
+    # fast_conv=True: validation must be exact without the spans-ok retry
+    # protocol (the slim "zeros" program needs its caller to re-dispatch on
+    # span overflow; here we just embed the exact fallback branch)
+    eval_step = make_eval_step(
+        model, batch_size=config.dataloader.test.batch_size,
+        voxel_capacity=voxel_capacity,
+        fast_conv=True if jax.default_backend() == "tpu" else None)
 
     # profiling hook (SURVEY §5.1): TL_PROFILE=<dir> traces one epoch
     # (TL_PROFILE_EPOCH, default = the first trained epoch) with jax.profiler

@@ -266,6 +266,7 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
                 cat["instance_labels"], cat["backbone_feats"], cat["input_feats"])
 
     pending = None  # (output_device, host_batch, inner_cap)
+    last_dispatch = None  # (eval_step, jbatch) for the pure-step timing
     for jbatch, batch in _prefetch(dataloader):
         n = batch["coords"].shape[0]
         inner_cap = _inner_cap_bucket(_inner_count(batch), n)
@@ -302,11 +303,20 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         if pending is not None:
             harvest(*pending)  # blocks on t-1 while the device runs t
         pending = (output, batch, inner_cap)
+        last_dispatch = (eval_step, jbatch)
         tm["device_s"] += time.time() - t0  # dispatch + overlapped harvest
     if pending is not None:
         t0 = time.time()
         harvest(*pending)
         tm["device_s"] += time.time() - t0
+    if timings is not None and last_dispatch is not None:
+        # pure device step time (no host transfer) for the MFU report:
+        # device_s above includes D2H, which on a tunneled chip can dwarf
+        # the compute it measures
+        step, jbatch = last_dispatch
+        t0 = time.time()
+        jax.block_until_ready(step(params, state, jbatch))
+        tm["pure_step_s"] = time.time() - t0
 
     cat = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
     return (cat["semantic_prediction_logits"], cat["semantic_labels"],
