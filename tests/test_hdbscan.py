@@ -112,3 +112,33 @@ def test_group_hdbscan_contract():
     assert len(tree_ids) == 3
     assert set(tree_ids) == {1, 2, 3}
     assert (labels[labels < 1] == -1).all()
+
+
+def test_level_components_banded_path_matches_xla(monkeypatch):
+    """The TPU ladder path (exact banded CC per level, no seeding) must
+    produce the same nested partitions as the CPU/XLA path."""
+    import jax
+    import numpy as np
+
+    import treelearn_tpu.ops.pallas_cc as pcc
+    from treelearn_tpu.ops import hdbscan as hd
+
+    rng = np.random.default_rng(11)
+    pts = np.vstack([rng.normal([0, 0], 0.05, (120, 2)),
+                     rng.normal([1.5, 0], 0.05, (120, 2)),
+                     rng.normal([6, 6], 0.08, (80, 2))]).astype(np.float32)
+    core = np.full(len(pts), 0.05, np.float32)
+    levels = np.geomspace(0.05, 8.0, 8)
+
+    cpu = hd._level_components(pts, core, levels)
+
+    monkeypatch.setattr(pcc, "_INTERPRET", True)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    tpu = hd._level_components(pts, core, levels)
+
+    for li in range(len(levels)):
+        a, b = cpu[li], tpu[li]
+        assert ((a >= 0) == (b >= 0)).all()
+        m = a >= 0
+        pairs = set(zip(a[m].tolist(), b[m].tolist()))
+        assert len(pairs) == len(set(a[m])) == len(set(b[m]))

@@ -113,9 +113,36 @@ def _ladder(core_d: np.ndarray, n_levels: int) -> np.ndarray:
 
 def _level_components(points_xy: np.ndarray, core_d: np.ndarray,
                       eps_levels: np.ndarray, cell_cap: int = 64) -> np.ndarray:
-    """(L, N) component labels, finest level first; -1 = inactive.  Each level
-    is seeded with the previous one's labels, so partitions are nested."""
+    """(L, N) component labels, finest level first; -1 = inactive.
+
+    On TPU each level runs the exact banded found-bits kernel
+    (ops/pallas_cc.py) over the level's active subset — exactness makes the
+    partitions nested by construction (eps and the active set both grow), so
+    no cross-level seeding is needed.  The CPU path keeps the XLA CC engine
+    with previous-level seeding (its per-cell candidate sampling is
+    approximate)."""
+    import jax
+
     n = len(points_xy)
+    out = np.empty((len(eps_levels), n), np.int32)
+
+    if jax.default_backend() == "tpu":
+        from .pallas_cc import cc_labels_banded
+
+        for i, eps in enumerate(eps_levels):
+            # compare in f32 like the XLA path (core_d is f32; an f64 eps
+            # equal to a representable f32 would spuriously exclude points)
+            active = np.isfinite(core_d) & (core_d <= np.float32(eps))
+            row = np.full(n, -1, np.int32)
+            if active.any():
+                idx = np.where(active)[0]
+                comp = cc_labels_banded(points_xy[idx, :2].astype(np.float32),
+                                        float(eps))
+                # stable id: the minimum ORIGINAL index of the component
+                row[idx] = idx[comp]
+            out[i] = row
+        return out
+
     size = _pow2(max(n, 1024))
     pts = np.zeros((size, 2), np.float32)
     pts[:n] = points_xy[:, :2]
@@ -127,7 +154,6 @@ def _level_components(points_xy: np.ndarray, core_d: np.ndarray,
     base_valid[:n] = True
     base_valid_j = jnp.asarray(base_valid)
 
-    out = np.empty((len(eps_levels), n), np.int32)
     prev = None
     for i, eps in enumerate(eps_levels):
         active = base_valid_j & (core_j <= jnp.float32(eps))
@@ -306,6 +332,14 @@ def hdbscan_cluster(points_xy: np.ndarray, min_cluster_size: int,
     (util/pipeline.py:184-191): clusters numbered from ``start_num``,
     noise = ``not_assigned_label``; the caller applies the tau_min size
     filter (already implied by min_cluster_size here).
+
+    Above ``TL_HDBSCAN_DEVICE_MAX`` points (default 50k) this delegates to
+    sklearn's HDBSCAN on the host: the eps-ladder's coarse levels put whole
+    plots into a handful of grid cells, where both the capped XLA engine and
+    the banded kernel's exact fallback degenerate to O(n^2) work.  The
+    scalable device design (banded k-NN graph + host Boruvka MST) is a
+    planned replacement; sklearn is exactly the engine the reference runs
+    at this scale (util/pipeline.py:184-191).
     """
     points_xy = np.asarray(points_xy, np.float32)[:, :2]
     n = len(points_xy)
@@ -314,6 +348,18 @@ def hdbscan_cluster(points_xy: np.ndarray, min_cluster_size: int,
     m = int(min_cluster_size)
     if n < m:
         return np.full(n, not_assigned_label, np.int64)
+
+    import os
+    device_max = int(os.environ.get("TL_HDBSCAN_DEVICE_MAX", 50000))
+    if n > device_max:
+        from sklearn.cluster import HDBSCAN
+
+        ref = HDBSCAN(min_cluster_size=m).fit(points_xy).labels_
+        out = np.full(n, not_assigned_label, np.int64)
+        pos = ref >= 0
+        out[pos] = ref[pos] + start_num
+        return out
+
     k = m if min_samples is None else int(min_samples)
 
     core_d2 = kth_neighbor_d2(points_xy, k=k)

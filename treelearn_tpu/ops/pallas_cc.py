@@ -149,12 +149,18 @@ def _cc_pallas_call(lo, n_live, q_small, ref_mat, *, tile, window, eps):
 
 
 def _found_bits_numpy(pts_sorted, keys_sorted, ij_sorted, idx, eps,
-                      chunk=8192):
+                      chunk=None):
     """Chunked numpy fallback: exact 25-cell found bits for the ``idx`` rows
     of the sorted point set.  Bounded memory: one (chunk, occ_cap) block per
-    neighbor cell at a time."""
+    neighbor cell at a time; the chunk adapts to the fullest cell so the
+    block stays ~100 MB even when a coarse eps puts everything in one cell
+    (the HDBSCAN ladder's top levels)."""
     n = len(pts_sorted)
     eps2 = eps * eps
+    if chunk is None:
+        _, counts = np.unique(keys_sorted, return_counts=True)
+        max_occ = int(counts.max()) if len(counts) else 1
+        chunk = int(np.clip(2.5e7 // max(max_occ, 1), 64, 8192))
     found = np.zeros((len(idx), 25), bool)
     for lo in range(0, len(idx), chunk):
         sel = idx[lo:lo + chunk]
