@@ -30,9 +30,7 @@ import numpy as np
 from ..ops.sparse import (
     DownsampleRulebook,
     SparseGrid,
-    build_down_rule,
     build_downsample,
-    build_inverse_rule,
     build_subm_rulebook,
     down_conv,
     inverse_conv,
@@ -56,20 +54,15 @@ def _subm(x, weight, rule, live, fast, spans=None):
     return subm_conv(x, weight.astype(x.dtype), rule, live)
 
 
-def _rule_conv(x, weight, rule, rule_t, live_out, live_in, fast,
-               spans=None, spans_t=None):
-    """Gather-form strided/inverse conv dispatch (K=8 rules).  ``rule_t`` is
-    the transposed rule of the pair (inverse rule for the strided conv and
-    vice versa), used by the custom VJP."""
-    if fast:
-        from ..ops.pallas_conv import DOWN_TILE, DOWN_WINDOW, rule_conv_ad
-
-        fb = "zeros" if fast == "zeros" else "xla"
-        return rule_conv_ad(x, weight, rule, rule_t, live_out, live_in,
-                            spans, spans_t, False, False,
-                            (DOWN_TILE, DOWN_WINDOW), fb)
-    return subm_conv(x, weight.astype(x.dtype), rule, live_out,
-                     center_identity=False)
+# NOTE on the down/inverse convs: they use the native scatter/gather
+# formulation (ops/sparse.py down_conv/inverse_conv — one wide MXU GEMM +
+# corner select + segment scatter/gather, autodiff-native) on every backend.
+# A banded-window formulation was tried and reverted: the child indices of a
+# sorted parent tile span ~2x the tile PLUS a full child row per y-parity
+# boundary (measured 2855 rows for a 128-parent tile on a dense 35 m tile),
+# so no practical static window covers them — dense tiles silently fell back
+# on every step.  The scatter form moves the same bytes once, with no
+# window fragility.
 
 BN_EPS = 1e-4       # reference tree_learn.py:34
 BN_MOMENTUM = 0.1   # reference tree_learn.py:34
@@ -339,8 +332,7 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
     level, O(1) probes; otherwise binary search over sorted keys.
     """
     from ..ops.sparse import build_dense_table
-    from ..ops.pallas_conv import (DEFAULT_TILE, DEFAULT_WINDOW, DOWN_TILE,
-                                   DOWN_WINDOW, rule_spans)
+    from ..ops.pallas_conv import DEFAULT_TILE, DEFAULT_WINDOW, rule_spans
 
     def spans_for(rule, v_in, tile=DEFAULT_TILE, window=DEFAULT_WINDOW):
         if rule.shape[1] % tile != 0 or v_in < window:
@@ -363,16 +355,10 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
                 out_table = batch_size * half[0] * half[1] * half[2]
             rb = build_downsample(g, int(capacities[lvl + 1]),
                                   out_table_size=out_table)
-            down_rule = build_down_rule(rb, g, child_table=table)
-            inv_rule = build_inverse_rule(rb)
             plans.append(LevelPlan(
                 grid=g, subm_rule=rule, down=rb,
-                down_rule=down_rule, inv_rule=inv_rule,
-                subm_spans=spans_for(rule, g.capacity),
-                down_spans=spans_for(down_rule, g.capacity,
-                                     DOWN_TILE, DOWN_WINDOW),
-                inv_spans=spans_for(inv_rule, rb.out_grid.capacity,
-                                    DOWN_TILE, DOWN_WINDOW)))
+                down_rule=None, inv_rule=None,
+                subm_spans=spans_for(rule, g.capacity)))
             g = rb.out_grid
             if shape is not None:
                 shape = tuple(s // 2 for s in shape)
@@ -440,9 +426,7 @@ def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
                         training=training, frozen=frozen)
         new_state["conv"] = {"0": s}
         y = jax.nn.relu(y)
-        y = _rule_conv(y, params["conv"]["2"]["weight"], plan.down_rule,
-                       plan.inv_rule, plan.down.out_grid.live_mask, live, fast,
-                       spans=plan.down_spans, spans_t=plan.inv_spans)
+        y = down_conv(y, params["conv"]["2"]["weight"], plan.down)
 
         y, s = apply_ublock(params["u"], state["u"], y, plans, level + 1,
                             block_reps=block_reps, training=training,
@@ -454,9 +438,7 @@ def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
                         training=training, frozen=frozen)
         new_state["deconv"] = {"0": s}
         y = jax.nn.relu(y)
-        y = _rule_conv(y, params["deconv"]["2"]["weight"], plan.inv_rule,
-                       plan.down_rule, live, plan.down.out_grid.live_mask, fast,
-                       spans=plan.inv_spans, spans_t=plan.down_spans)
+        y = inverse_conv(y, params["deconv"]["2"]["weight"], plan.down, live)
 
         x = jnp.concatenate([identity, y], axis=1)
         new_state["blocks_tail"] = {}

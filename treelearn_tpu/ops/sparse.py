@@ -263,9 +263,15 @@ def down_conv(feats: jnp.ndarray, weight: jnp.ndarray, rb: DownsampleRulebook) -
     which wins on TPU for the small channel counts here.
     """
     cin, cout = weight.shape[1], weight.shape[2]
+    weight = weight.astype(feats.dtype)
     wide = feats @ weight.transpose(1, 0, 2).reshape(cin, 8 * cout)
     wide = wide.reshape(-1, 8, cout)
-    contrib = jnp.take_along_axis(wide, rb.corner[:, None, None], axis=1)[:, 0, :]
+    # corner select as a masked sum (scanned): vectorizes cleanly on the VPU
+    # where an 8-way take_along gather lowers badly
+    def pick(acc, k):
+        return acc + jnp.where((rb.corner == k)[:, None], wide[:, k, :], 0.0), None
+    contrib, _ = jax.lax.scan(pick, jnp.zeros((wide.shape[0], cout), feats.dtype),
+                              jnp.arange(8))
     out_cap = rb.out_grid.capacity
     target = jnp.where(rb.parent_idx >= 0, rb.parent_idx, out_cap)
     out = jnp.zeros((out_cap, cout), feats.dtype).at[target].add(contrib, mode="drop")
@@ -281,11 +287,15 @@ def inverse_conv(coarse_feats: jnp.ndarray, weight: jnp.ndarray,
     matching spconv's behavior for sites outside every kernel window.
     """
     cin, cout = weight.shape[1], weight.shape[2]
+    weight = weight.astype(coarse_feats.dtype)
     v_out = coarse_feats.shape[0]
     parent = jnp.clip(rb.parent_idx, 0, v_out - 1)
     gathered = coarse_feats[parent]
     gathered = jnp.where((rb.parent_idx >= 0)[:, None], gathered, 0.0)
     wide = gathered @ weight.transpose(1, 0, 2).reshape(cin, 8 * cout)
     wide = wide.reshape(-1, 8, cout)
-    out = jnp.take_along_axis(wide, rb.corner[:, None, None], axis=1)[:, 0, :]
+    def pick(acc, k):
+        return acc + jnp.where((rb.corner == k)[:, None], wide[:, k, :], 0.0), None
+    out, _ = jax.lax.scan(pick, jnp.zeros((wide.shape[0], cout),
+                                          coarse_feats.dtype), jnp.arange(8))
     return jnp.where(fine_live_mask[:, None], out, 0.0)
