@@ -359,7 +359,7 @@ def _brute_topk_block(ref_pts, ref_valid, query_blk, k: int, r_block: int):
 
 
 def brute_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
-              q_block: int = 4096, r_block: int = 8192,
+              q_block: int = 8192, r_block: int = 32768,
               return_d2: bool = False) -> np.ndarray:
     """Exact k-NN with bounded memory: blocks queries on the host, streams
     refs on the device.  Peak device memory ~= q_block * r_block floats.

@@ -259,19 +259,39 @@ def cc_labels_banded(points_xy: np.ndarray, eps: float,
         idx = np.where(over)[0]
         found[idx] = _found_bits_numpy(spts, skeys, sij, idx, float(eps))
 
-    # edges: sorted-space point -> representative (cell start) of found cells
+    # union-find on the CELL graph, not the point graph: each cell is a
+    # clique (cell = eps/sqrt2), so cell-level connectivity (cells A, B
+    # adjacent iff ANY member of A found B) has identical components — and
+    # ~6-10x fewer edges for scipy at forest densities.
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import connected_components as scipy_cc
 
-    qi = sij[:, 0:1] + np.arange(-2, 3).repeat(5)[None, :]
-    qj = sij[:, 1:2] + np.tile(np.arange(-2, 3), 5)[None, :]
-    nbr_keys = qi.astype(np.int64) * _GRID_WIDTH + qj
-    reps = np.searchsorted(skeys, nbr_keys.ravel(), side="left").reshape(n, 25)
+    first = np.ones(n, bool)
+    first[1:] = skeys[1:] != skeys[:-1]
+    cell_id = np.cumsum(first) - 1          # (n,) sorted-space cell index
+    n_cells = int(cell_id[-1]) + 1
+    starts = np.flatnonzero(first)
 
-    src = np.broadcast_to(np.arange(n)[:, None], (n, 25))[found]
-    dst = np.minimum(reps, n - 1)[found]
-    graph = coo_matrix((np.ones(len(src), np.int8), (src, dst)), shape=(n, n))
-    _, comp = scipy_cc(graph, directed=False)
+    # OR-reduce found bits per cell (reduceat over the sorted point rows;
+    # ``found`` already includes the overflow-tile corrections)
+    cell_found = np.bitwise_or.reduceat(found, starts, axis=0)
+
+    # neighbor cell index per (cell, offset): locate the neighbor's key
+    cell_keys = skeys[starts]
+    cij = np.stack([cell_keys // _GRID_WIDTH, cell_keys % _GRID_WIDTH], axis=1)
+    qi = cij[:, 0:1] + np.arange(-2, 3).repeat(5)[None, :]
+    qj = cij[:, 1:2] + np.tile(np.arange(-2, 3), 5)[None, :]
+    nbr_keys = qi.astype(np.int64) * _GRID_WIDTH + qj
+    nbr_cell = np.searchsorted(cell_keys, nbr_keys.ravel(),
+                               side="left").reshape(n_cells, 25)
+
+    src = np.broadcast_to(np.arange(n_cells)[:, None],
+                          (n_cells, 25))[cell_found]
+    dst = np.minimum(nbr_cell, n_cells - 1)[cell_found]
+    graph = coo_matrix((np.ones(len(src), np.int8), (src, dst)),
+                       shape=(n_cells, n_cells))
+    _, cell_comp = scipy_cc(graph, directed=False)
+    comp = cell_comp[cell_id]               # (n,) per point
 
     # stable ids: minimum ORIGINAL index per component, in original order
     comp_min = np.full(comp.max() + 1, n, np.int64)
