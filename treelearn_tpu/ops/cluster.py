@@ -342,10 +342,15 @@ def _brute_topk_block(ref_pts, ref_valid, query_blk, k: int, r_block: int):
         r2 = jnp.sum(jnp.square(rpts), axis=-1)
         d2 = q2[:, None] + r2[None, :] - 2.0 * (query_blk @ rpts.T)
         d2 = jnp.where(rval[None, :], d2, jnp.inf)
-        cat_d2 = jnp.concatenate([best_d2, d2], axis=1)
-        idx_chunk = jnp.broadcast_to(base + jnp.arange(r_block, dtype=jnp.int32),
-                                     (nq, r_block))
-        cat_idx = jnp.concatenate([best_idx, idx_chunk], axis=1)
+        # two-stage top-k: the TPU-optimized approximate reduction shrinks
+        # the chunk to ~2k candidates, the exact top_k finishes — exact
+        # top_k over the full chunk lane width dominated the whole pass
+        # (measured ~0.1% MFU on the 3Mx1.8M assignment)
+        kk = min(2 * k, d2.shape[1])
+        neg_c, sel_c = jax.lax.approx_max_k(-d2, kk, recall_target=0.99)
+        idx_c = (base + sel_c).astype(jnp.int32)
+        cat_d2 = jnp.concatenate([best_d2, -neg_c], axis=1)
+        cat_idx = jnp.concatenate([best_idx, idx_c], axis=1)
         neg, sel = jax.lax.top_k(-cat_d2, k)
         return (-neg, jnp.take_along_axis(cat_idx, sel, axis=1)), None
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -276,20 +277,44 @@ def banded_knn_classify(ref_pts: np.ndarray, ref_labels: np.ndarray,
 
     result = np.full(nq, -1, np.int64)
     need = np.ones(nq, bool)
-    if nr >= k:
+    use_banded = nr >= k
+    if use_banded and nq > 1 << 17:
+        # probe a sample before committing millions of queries to banded
+        # rounds: on clumped refs with spread-out queries (offset-shifted
+        # canopies) the grid cell that bounds the window DMA is far below
+        # typical 3D neighbor distances, so the rounds find almost nothing
+        # and the brute pass does the real work anyway (measured 537s of
+        # banded for a 1.4% hit rate at 3M queries before this gate).
+        rng = np.random.default_rng(0)
+        sample = query_pts[rng.choice(nq, 1 << 14, replace=False)]
+        extent = np.ptp(ref_pts[:, :2], axis=0).max() + 1e-6
+        cell0 = max(extent / np.sqrt(max(nr, 1) / 32.0), 1e-3)
+        enc0 = ref_labels.astype(np.int64)
+        enc0 = enc0 - (int(enc0.min()) if nr else 0) + 1
+        _, done_s, _ = _banded_knn_pass(ref_pts, enc0, sample, float(cell0), k)
+        if done_s.mean() < 0.25:
+            use_banded = False
+    if use_banded:
         extent = np.ptp(ref_pts[:, :2], axis=0).max() + 1e-6
         cell = max(extent / np.sqrt(max(nr, 1) / 32.0), 1e-3)
-        for _ in range(max_rounds):
+        debug = os.environ.get("TL_KNN_DEBUG") == "1"
+        for rnd in range(max_rounds):
             if not need.any():
                 break
             idx = np.where(need)[0]
+            t0 = time.time() if debug else 0.0
             winner, done, overflow_frac = _banded_knn_pass(
                 ref_pts, enc, query_pts[idx], float(cell), k)
             result[idx[done]] = winner[done]
             need[idx] = ~done
-            if overflow_frac > 0.5:
-                # cells so coarse that whole rows exceed the window: larger
-                # cells only overflow harder — finish via brute force
+            if debug:
+                print(f"[knn] round {rnd}: nq={len(idx)} cell={cell:.3f} "
+                      f"done={done.mean():.3f} overflow={overflow_frac:.3f} "
+                      f"{time.time()-t0:.2f}s", flush=True)
+            if overflow_frac > 0.5 or done.mean() < 0.25:
+                # cells so coarse that whole rows exceed the window (larger
+                # cells only overflow harder), or a round that resolves
+                # almost nothing: finish via brute force
                 break
             cell *= 4.0
 
