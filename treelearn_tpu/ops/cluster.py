@@ -323,13 +323,19 @@ def _grid_knn_once(ref_pts, ref_valid, query_pts, query_valid, cell_size,
     return orig_idx, -neg_d2
 
 
-@partial(jax.jit, static_argnames=("k", "r_block"))
-def _brute_topk_block(ref_pts, ref_valid, query_blk, k: int, r_block: int):
-    """Streaming exact k-NN of one query block against all refs.
+@partial(jax.jit, static_argnames=("k", "r_block", "exact"))
+def _brute_topk_block(ref_pts, ref_valid, query_blk, k: int, r_block: int,
+                      exact: bool = True):
+    """Streaming k-NN of one query block against all refs.
 
     Scans the refs in ``r_block`` chunks keeping a running top-k, so device
     memory is O(Q * r_block) regardless of the ref count.  The cross term is
     a (Q, d) @ (d, r_block) matmul (MXU) — never a dense (Q, R) materialize.
+
+    ``exact=True`` uses lax.top_k per chunk (true nearest neighbors,
+    guaranteed); ``exact=False`` uses the TPU-optimized approx_max_k
+    reduction (recall ~0.99) which is faster on wide chunks but may drop a
+    true neighbor.
     """
     nr = ref_pts.shape[0]
     n_chunks = nr // r_block
@@ -342,12 +348,17 @@ def _brute_topk_block(ref_pts, ref_valid, query_blk, k: int, r_block: int):
         r2 = jnp.sum(jnp.square(rpts), axis=-1)
         d2 = q2[:, None] + r2[None, :] - 2.0 * (query_blk @ rpts.T)
         d2 = jnp.where(rval[None, :], d2, jnp.inf)
-        # two-stage top-k: the TPU-optimized approximate reduction shrinks
-        # the chunk to ~2k candidates, the exact top_k finishes — exact
-        # top_k over the full chunk lane width dominated the whole pass
-        # (measured ~0.1% MFU on the 3Mx1.8M assignment)
+        # two-stage top-k: a per-chunk reduction shrinks the chunk to ~2k
+        # candidates, the exact top_k over the concatenated candidates
+        # finishes.  The reduction is exact (lax.top_k) by default; callers
+        # that tolerate ~0.99 recall pass exact=False for the approx_max_k
+        # variant (full-lane-width exact top_k once measured ~0.1% MFU on a
+        # 3Mx1.8M assignment; the two-stage form recovers most of that).
         kk = min(2 * k, d2.shape[1])
-        neg_c, sel_c = jax.lax.approx_max_k(-d2, kk, recall_target=0.99)
+        if exact:
+            neg_c, sel_c = jax.lax.top_k(-d2, kk)
+        else:
+            neg_c, sel_c = jax.lax.approx_max_k(-d2, kk, recall_target=0.99)
         idx_c = (base + sel_c).astype(jnp.int32)
         cat_d2 = jnp.concatenate([best_d2, -neg_c], axis=1)
         cat_idx = jnp.concatenate([best_idx, idx_c], axis=1)
@@ -365,10 +376,14 @@ def _brute_topk_block(ref_pts, ref_valid, query_blk, k: int, r_block: int):
 
 def brute_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
               q_block: int = 8192, r_block: int = 32768,
-              return_d2: bool = False) -> np.ndarray:
+              return_d2: bool = False, exact: bool = True) -> np.ndarray:
     """Exact k-NN with bounded memory: blocks queries on the host, streams
     refs on the device.  Peak device memory ~= q_block * r_block floats.
-    With ``return_d2`` also returns the (Q, k) squared distances."""
+    With ``return_d2`` also returns the (Q, k) squared distances.
+
+    Exact by default — callers (banded_knn_classify's backstop, HDBSCAN core
+    distances) depend on true nearest neighbors.  ``exact=False`` opts into
+    the faster ~0.99-recall approximate chunk reduction."""
     nq, nr = len(query_pts), len(ref_pts)
     k_eff = min(k, nr)
     r_block = min(r_block, _pow2(max(nr, 16)))
@@ -387,7 +402,7 @@ def brute_knn(ref_pts: np.ndarray, query_pts: np.ndarray, k: int = 5,
         blk = np.zeros((q_block, query_pts.shape[1]), np.float32)
         blk[: hi - lo] = query_pts[lo:hi]
         idx, d2 = _brute_topk_block(ref_j, rv_j, jnp.asarray(blk),
-                                    k=k_eff, r_block=r_block)
+                                    k=k_eff, r_block=r_block, exact=exact)
         idx = np.asarray(idx)[: hi - lo]
         d2 = np.asarray(d2)[: hi - lo]
         if k_eff < k:  # fewer refs than k: repeat the nearest

@@ -354,7 +354,10 @@ def hdbscan_cluster(points_xy: np.ndarray, min_cluster_size: int,
     if n > device_max:
         from sklearn.cluster import HDBSCAN
 
-        ref = HDBSCAN(min_cluster_size=m).fit(points_xy).labels_
+        ref = HDBSCAN(
+            min_cluster_size=m,
+            min_samples=None if min_samples is None else int(min_samples),
+        ).fit(points_xy).labels_
         out = np.full(n, not_assigned_label, np.int64)
         pos = ref >= 0
         out[pos] = ref[pos] + start_num

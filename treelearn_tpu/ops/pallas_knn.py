@@ -278,6 +278,13 @@ def banded_knn_classify(ref_pts: np.ndarray, ref_labels: np.ndarray,
     result = np.full(nq, -1, np.int64)
     need = np.ones(nq, bool)
     use_banded = nr >= k
+    if use_banded and nr and int(enc.max()) >= (1 << 24):
+        # labels ride through the kernel as float32 (ref_mat row 6) and pack
+        # into int32 under a bit-30 done flag: encoded ids >= 2^24 lose float
+        # precision and >= 2^30 collide with the flag.  enc starts at 1, so
+        # this only triggers for ~16M distinct raw ids — route those to the
+        # exact brute-force path instead of risking silent wrong labels.
+        use_banded = False
     if use_banded and nq > 1 << 17:
         # probe a sample before committing millions of queries to banded
         # rounds: on clumped refs with spread-out queries (offset-shifted
