@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from treelearn_tpu.ops.pallas_conv import _tile_lo, banded_spans_ok
+from treelearn_tpu.ops.pallas_conv import banded_spans_ok, rule_spans
 from treelearn_tpu.ops.sparse import build_subm_rulebook, grid_from_coords, subm_conv
 
 
@@ -19,14 +19,27 @@ def _grid(n=1500, shape=(30, 30, 60), cap=2048, seed=0):
     return grid_from_coords(jnp.asarray(coords), shape, capacity=cap)
 
 
-def test_tile_lo_and_spans():
+def test_rule_spans():
     grid, _ = _grid()
     rule = build_subm_rulebook(grid, 3)
-    lo = np.asarray(_tile_lo(rule, 256, 512, 2048))
-    assert lo.shape == (27, 8)
-    assert (lo % 16 == 0).all()
+    sp = rule_spans(rule, 256, 512, 2048)
+    lo = np.asarray(sp.lo)
+    assert lo.shape == (9, 8)
+    assert (lo % 64 == 0).all()
     assert (lo >= 0).all() and (lo <= 2048 - 512).all()
+    # decoded r0 + d reconstructs the rule over valid entries, with run
+    # deltas <= 2 (consecutive-keys property: dz neighbors are K-1, K, K+1)
+    rb = np.asarray(rule).reshape(9, 3, -1)
+    rd = np.asarray(sp.rd)
+    r0 = rd >> 6
+    d = np.stack([((rd >> (2 * dz)) & 3) - 1 for dz in range(3)], axis=1)
+    valid = rb >= 0
+    assert (d[valid] >= 0).all() and (d[valid] <= 2).all()
+    assert ((rd >= 0)[:, None, :] | ~valid).all()  # valid entry => band word
+    np.testing.assert_array_equal(rb[valid],
+                                  (r0[:, None, :].repeat(3, 1) + d)[valid])
     # sorted-key rulebooks on compact grids are banded
+    assert bool(sp.ok)
     assert bool(banded_spans_ok(rule, 256, 512, 2048))
     # a deliberately scattered rulebook is not
     bad = jnp.zeros_like(rule).at[:, 0].set(0).at[:, 1].set(2047)

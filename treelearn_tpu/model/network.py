@@ -293,7 +293,7 @@ class TreeLearn:
             for p in plans:
                 for sp in (p.subm_spans, p.down_spans, p.inv_spans):
                     if sp is not None:
-                        flags.append(sp[1])
+                        flags.append(sp.ok)
             output["spans_ok"] = jnp.stack(flags)
         return output, new_state
 

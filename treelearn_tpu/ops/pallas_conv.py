@@ -1,32 +1,50 @@
-"""Pallas TPU kernels for the sparse convolutions: banded gather-GEMM.
+"""Pallas TPU kernels for the sparse convolutions: packed banded gather-GEMM.
 
 Why: XLA's row gather on TPU runs at a few GB/s (measured 4.5 GB/s for
 (1M, 32)-bf16 rows on v5e), making gathers ~95% of submanifold conv time.
-But our rulebooks have structure XLA cannot see: voxel keys are *sorted*, and
-a fixed kernel offset shifts every key by the same delta, so each rulebook
-column ``rule[k]`` is monotonically non-decreasing over live rows.  Hence for
-an output tile of T consecutive voxels, all its inputs for offset k lie in a
-*contiguous* window of the feature array.
+But our rulebooks have structure XLA cannot see:
 
-The kernel therefore never gathers from HBM: per (tile, offset) it DMAs the
-contiguous window (full-bandwidth sequential read) into VMEM and selects rows
-with a one-hot matrix multiplied on the MXU:
+1. Voxel keys are *sorted* and a fixed kernel offset shifts every key by the
+   same delta, so each rulebook column ``rule[k]`` is monotonically
+   non-decreasing over live rows.  Hence for an output tile of T consecutive
+   voxels, all its inputs for offset k lie in a *contiguous* window of the
+   feature array.
+2. Keys are encoded z-fastest (ops/hashing.py:33) and the 27 kernel offsets
+   are ordered dz-fastest (ops/sparse.py:kernel_offsets), so the three
+   dz ∈ {-1,0,+1} neighbors of one output share a (dx,dy) *band*: their keys
+   are the consecutive integers K-1, K, K+1, and therefore the ones that
+   exist sit in ≤3 *consecutive slots* of the sorted voxel array.
 
-    G[t, r] = (rule[k, tile_t] - lo == r)          # (T, R) one-hot, built on VPU
-    out_tile += (G @ window) @ W[k]                # two MXU GEMMs
+The kernel exploits both.  Features are viewed in a lane-packed layout
+``(V/p, p·C)`` with p·C = 128 lanes (a free reshape — the buffer is
+voxel-major) so a window DMA wastes no lanes on channel padding.  Per
+(tile, band) it DMAs ONE contiguous packed window (full-bandwidth sequential
+read, 9 DMAs instead of 27), selects each output's 2-row group around the
+band's base slot ``r0`` with one-hot matmuls on the MXU:
 
-Window residency is double-buffered across offsets.  Entries whose input
-falls outside the window (possible only in pathological density jumps) are
-counted on the host side by :func:`banded_spans_ok`; callers fall back to the
-XLA path via ``lax.cond`` when any would be dropped, so results are always
-exact.  Reference semantics: spconv SubMConv3d (reference blocks.py:57).
+    G[t, r]  = (r0[t]//p - lo == r)                  # (T, W) one-hot, VPU
+    g_lo     = G  @ window;  g_hi = G(+1) @ window   # two MXU GEMMs
+    sel_k[t] = lane-group (r0[t]%p + d_k[t]) of [g_lo | g_hi]   # VPU select
+
+and applies all 27 weight matrices as ONE wide GEMM at the end:
+
+    out_tile = [sel_0 | sel_1 | … | sel_26] @ vstack(W_k)        # MXU
+
+Relative to the per-offset unpacked form this cuts window HBM traffic ~9×
+and selection-GEMM FLOPs ~4× at C=32 (the hot L0/L1 levels of the U-Net).
+
+Window residency is double-buffered across bands.  Entries whose input falls
+outside the window (possible only in pathological density jumps) are counted
+by :func:`rule_spans`; callers fall back to the XLA path via ``lax.cond``
+when any would be dropped, so results are always exact.  Reference
+semantics: spconv SubMConv3d (reference blocks.py:57).
 """
 
 from __future__ import annotations
 
 import functools
 import os
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,110 +54,214 @@ from jax.experimental.pallas import tpu as pltpu
 # (tile, window) = (128, 512): selection-GEMM FLOPs scale with window alone
 # (T cancels), while within-tile index spread scales with tile — T=256 tiles
 # overflowed 512-windows on centered plots (L0/L1 spread > 256), silently
-# routing the HOT submanifold convs to the fallback.  T=128 doubles window
-# DMA traffic but keeps every level on the banded path.
+# routing the HOT submanifold convs to the fallback.  The window is in
+# *voxels*; the kernel divides by the pack factor to get DMA rows.
 DEFAULT_TILE = 128
 DEFAULT_WINDOW = 512
-# strided/inverse rules map between levels whose sizes differ 2x, so a tile
-# of T outputs gathers from ~2T inputs plus full-row skips at y-parity
-# boundaries — their windows must be much wider than the submanifold ones
-# (measured: (128, 2048) covers every level of the bench plot; (256, 512)
-# NEVER covered the down rules, silently routing them to the fallback)
-DOWN_TILE = 128
-DOWN_WINDOW = 2048
-_ALIGN = 16  # bf16 sublane tile: DMA slice starts must be provably aligned
+# window starts are aligned down to 64 voxels so the packed-row DMA start is
+# a multiple of the bf16 sublane tile (16) for every pack factor p ∈ {1,2,4}
+_ALIGN = 64
 
 # interpreter mode for CPU-side testing of the kernels
 _INTERPRET = os.environ.get("TL_PALLAS_INTERPRET", "0") == "1"
 
-
-def _tile_lo(rule: jnp.ndarray, tile: int, window: int, v: int) -> jnp.ndarray:
-    """(K, ntiles) int32 window starts: min valid input index per (k, tile),
-    aligned down to the sublane tile so Mosaic can slice at full speed.
-    Layout (K, ntiles) keeps the SMEM prefetch small (last dim is padded)."""
-    k, n = rule.shape
-    ntiles = n // tile
-    r = rule.reshape(k, ntiles, tile)
-    big = jnp.int32(2**30)
-    lo = jnp.min(jnp.where(r >= 0, r, big), axis=2)
-    lo = jnp.where(lo == big, 0, lo)
-    lo = (lo // _ALIGN) * _ALIGN
-    return jnp.clip(lo, 0, max(v - window, 0)).astype(jnp.int32)
+_BIG = jnp.int32(2**30)
 
 
-def rule_spans(rule: jnp.ndarray, tile: int, window: int, v: int):
-    """Precompute the banded-window metadata of a rulebook: ``(lo, ok)`` where
-    ``lo`` is the (K, ntiles) int32 window starts and ``ok`` is a () bool that
-    is True iff every valid rulebook entry falls inside its tile's window
-    (i.e. the fast Pallas path is exact for this rulebook).
+class BandSpans(NamedTuple):
+    """Level-shared banded-window precompute of a (27, V) submanifold rule.
 
     All convs sharing a rulebook (all blocks of a U-Net level — the spconv
-    ``indice_key`` group) share one spans computation; compute it once per
-    level and pass it to :func:`rule_conv_fast` / :func:`rule_conv_ad`."""
+    ``indice_key`` group) share one spans computation; build it once per
+    level (model/blocks.py:build_level_plans) and pass it to
+    :func:`rule_conv_fast` / :func:`rule_conv_ad`.
+    """
+
+    lo: jnp.ndarray   # (9, ntiles) int32 window starts, in voxels, 64-aligned
+    rd: jnp.ndarray   # (9, V) int32 packed band word: r0*64 | dz-delta fields
+                      #   r0 = rd >> 6: base slot of the band's 3-slot run
+                      #   ((rd >> 2*dz) & 3) - 1: slot delta in [0, 2], -1 invalid
+                      #   rd == -1: no valid dz neighbor in this band
+    ok: jnp.ndarray   # () bool: every valid entry is in-window → fast path exact
+
+
+def _pack_of(cin: int):
+    """(pack, c_unit): lane-pack factor and padded per-voxel channel count.
+
+    p voxels share a 128-lane (or 256 for c_unit=256) window row; p·c_unit is
+    the row's lane width.  Packing is free: (V, C) voxel-major IS (V/p, p·C).
+    """
+    if cin <= 32:
+        return 4, 32
+    if cin <= 64:
+        return 2, 64
+    if cin <= 128:
+        return 1, 128
+    if cin <= 256:
+        return 1, 256
+    if cin <= 512:
+        # concat-skip tail blocks (2c up to 448 at depth 7)
+        return 1, 512
+    raise NotImplementedError(f"cin={cin} > 512")
+
+
+def rule_spans(rule: jnp.ndarray, tile: int, window: int, v: int) -> BandSpans:
+    """Precompute the banded-window metadata of a (27, V_out) submanifold
+    rulebook over a V-row input array: see :class:`BandSpans`.
+
+    ``ok`` is True iff every valid entry satisfies ``r0 - lo <= window - 8``,
+    which guarantees the 2-row packed group [r0//p, r0//p + 1] is inside the
+    W = window/p row window for every pack factor p ∈ {1, 2, 4}.
+    """
     k, n = rule.shape
+    assert k == 27, k
     ntiles = n // tile
-    lo = _tile_lo(rule, tile, window, v)  # (K, ntiles)
-    r = rule.reshape(k, ntiles, tile)
-    rel = r - lo[:, :, None]
-    bad = (r >= 0) & ((rel < 0) | (rel >= window))
-    return lo, ~jnp.any(bad)
+    rb = rule.reshape(9, 3, n)
+    valid = rb >= 0
+    r0 = jnp.min(jnp.where(valid, rb, _BIG), axis=1)          # (9, n)
+    d = jnp.where(valid, rb - r0[:, None, :], -1)             # in [0, 2] / -1
+    r0 = jnp.where(r0 == _BIG, -1, r0)
+    dz_sh = jnp.arange(3, dtype=jnp.int32)[:, None] * 2
+    fields = jnp.sum((d + 1) << dz_sh[None, :, :], axis=1)    # (9, n) 6 bits
+    rd = jnp.where(r0 >= 0, r0 * 64 + fields, -1).astype(jnp.int32)
+
+    rt = r0.reshape(9, ntiles, tile)
+    lo = jnp.min(jnp.where(rt >= 0, rt, _BIG), axis=2)        # (9, ntiles)
+    lo = jnp.where(lo == _BIG, 0, lo)
+    lo = (lo // _ALIGN) * _ALIGN
+    lo = jnp.clip(lo, 0, max(v - window, 0)).astype(jnp.int32)
+
+    rel = rt - lo[:, :, None]
+    bad = (rt >= 0) & ((rel < 0) | (rel > window - 8))
+    ok = ~jnp.any(bad)
+    return BandSpans(lo=lo, rd=rd, ok=ok)
 
 
 def banded_spans_ok(rule: jnp.ndarray, tile: int, window: int, v: int):
     """() bool — see :func:`rule_spans`."""
-    return rule_spans(rule, tile, window, v)[1]
+    return rule_spans(rule, tile, window, v).ok
 
 
-def _subm_kernel(lo_ref, n_live_ref, rule_ref, feats_hbm, w_ref, out_ref,
-                 window_buf, acc_ref, sems, *, n_offsets, window, tile,
-                 out_dtype):
+def _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems, consume,
+                  *, window_rows, tile, pack, c_unit):
+    """Shared gather stage: per band b in [0, 9), gather each output's three
+    dz-neighbor feature rows via banded one-hot MXU gathers and hand the
+    lane-concatenated (T, 3*c_unit) bf16 result to ``consume(b, band_cat)``.
+
+    fori_loop (NOT a python loop) over the 9 bands: the unrolled body costs
+    ~0.5 MB of VLIW code per band and the model instantiates ~65 of these
+    kernels — unrolling once produced a 741 MB executable whose upload to the
+    device dominated end-to-end time.  Double-buffering works unchanged:
+    band b waits on slot b%2 while b+1 streams into the other slot.
+    """
+    shift = {1: 0, 2: 1, 4: 2}[pack]
+
+    def dma(b_idx, slot):
+        start = pl.multiple_of(lo_ref[b_idx, t] // pack, _ALIGN // pack)
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start, window_rows), :],
+            window_buf.at[slot],
+            sems.at[slot],
+        )
+
+    dma(0, 0).start()
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, window_rows), 1)
+
+    def body(b, _):
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < 9)
+        def _():
+            dma(b + 1, jax.lax.rem(b + 1, 2)).start()
+
+        dma(b, slot).wait()
+
+        rd = rd_ref[b, :]                                   # (T,) int32
+        has = rd >= 0
+        r0 = jax.lax.shift_right_arithmetic(rd, 6)
+        lo_row = lo_ref[b, t] // pack
+        if pack > 1:
+            q0 = jnp.clip(jax.lax.shift_right_arithmetic(r0, shift) - lo_row,
+                          0, window_rows - 2)
+            # validity is folded into the index (-1 matches no column):
+            # Mosaic cannot broadcast 1-D bools into a minor dim
+            q0m = jnp.where(has, q0, -1)
+            onehot = (q0m[:, None] == col_ids)
+            g_lo = jnp.dot(onehot.astype(jnp.bfloat16), window_buf[slot],
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
+            onehot1 = (jnp.where(has, q0 + 1, -1)[:, None] == col_ids)
+            g_hi = jnp.dot(onehot1.astype(jnp.bfloat16), window_buf[slot],
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
+            m = jax.lax.bitwise_and(r0, pack - 1)           # r0 % p
+        sels = []
+        for dz in range(3):
+            dd = jax.lax.bitwise_and(
+                jax.lax.shift_right_logical(rd, 2 * dz), 3) - 1
+            vmask = has & (dd >= 0)
+            if pack == 1:
+                # slot r0+dd is within [q0, q0+2] of the window (ok margin)
+                rel = jnp.clip(r0 + dd - lo_row, 0, window_rows - 1)
+                relm = jnp.where(vmask, rel, -1)
+                oh = (relm[:, None] == col_ids).astype(jnp.bfloat16)
+                sel = jnp.dot(oh, window_buf[slot],
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16)
+            else:
+                ph = jnp.where(vmask, m + dd, -1)            # in [0, 2p) / -1
+                sel = jnp.zeros((tile, c_unit), jnp.bfloat16)
+                for pv in range(2 * pack):
+                    src = g_lo if pv < pack else g_hi
+                    lane = (pv % pack) * c_unit
+                    sel = sel + jnp.where(
+                        ph[:, None] == pv,
+                        src[:, lane:lane + c_unit], 0)
+            sels.append(sel)
+        consume(b, jnp.concatenate(sels, axis=1))            # (T, 3*c_unit)
+        return _
+
+    jax.lax.fori_loop(0, 9, body, None, unroll=False)
+
+
+def _subm_kernel(lo_ref, n_live_ref, rd_ref, feats_hbm, w_ref, out_ref,
+                 window_buf, acc_ref, sems, *, window_rows, tile, pack,
+                 c_unit, out_dtype):
     t = pl.program_id(0)
     out_ref[:] = jnp.zeros_like(out_ref)
 
     # capacity padding: tiles entirely past the live rows do no work
     @pl.when(t * tile < n_live_ref[0])
     def _():
-        def dma(k_idx, slot):
-            start = pl.multiple_of(lo_ref[k_idx, t], _ALIGN)
-            return pltpu.make_async_copy(
-                feats_hbm.at[pl.ds(start, window), :],
-                window_buf.at[slot],
-                sems.at[slot],
-            )
-
-        dma(0, 0).start()
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
-
-        # fori_loop (NOT a python loop): the unrolled body costs ~0.5 MB of
-        # VLIW code per offset and the model instantiates ~65 of these kernels
-        # — unrolling K=27 produced a 741 MB executable whose upload to the
-        # device dominated end-to-end time.  Double-buffering works unchanged:
-        # iteration k waits on slot k%2 while k+1 streams into the other slot.
-        def body(k, _):
-            slot = jax.lax.rem(k, 2)
-
-            @pl.when(k + 1 < n_offsets)
-            def _():
-                dma(k + 1, jax.lax.rem(k + 1, 2)).start()
-
-            dma(k, slot).wait()
-
-            rule_k = rule_ref[k, :]                          # (T,)
-            rel = rule_k - lo_ref[k, t]
-            valid = (rule_k >= 0) & (rel >= 0) & (rel < window)
-            rel = jnp.where(valid, rel, -1)
-            one_hot = (rel[:, None] == col_ids).astype(jnp.bfloat16)  # (T, R)
-
-            h = jnp.dot(one_hot, window_buf[slot],
-                        preferred_element_type=jnp.float32)  # selected rows
-            acc_ref[:] += jnp.dot(h.astype(jnp.bfloat16), w_ref[k],
+        def consume(b, band_cat):
+            # w_ref[b] is the (3*c_unit, Cout) stack of this band's weights
+            acc_ref[:] += jnp.dot(band_cat, w_ref[b],
                                   preferred_element_type=jnp.float32)
-            return _
 
-        jax.lax.fori_loop(0, n_offsets, body, None, unroll=False)
+        _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems,
+                      consume, window_rows=window_rows, tile=tile, pack=pack,
+                      c_unit=c_unit)
         out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _pack_feats(feats: jnp.ndarray, pack: int, c_unit: int) -> jnp.ndarray:
+    v, cin = feats.shape
+    fb = feats.astype(jnp.bfloat16)
+    if cin != c_unit:
+        fb = jnp.pad(fb, ((0, 0), (0, c_unit - cin)))
+    return fb.reshape(v // pack, pack * c_unit)
+
+
+def _band_weight(weight: jnp.ndarray, c_unit: int) -> jnp.ndarray:
+    """(27, Cin, Cout) -> (9, 3*c_unit, Cout) bf16: per-band stacked weights,
+    zero rows for the Cin->c_unit channel padding."""
+    k, cin, cout = weight.shape
+    wb = weight.astype(jnp.bfloat16)
+    if cin != c_unit:
+        wb = jnp.pad(wb, ((0, 0), (0, c_unit - cin), (0, 0)))
+    return wb.reshape(9, 3 * c_unit, cout)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window"))
@@ -147,60 +269,52 @@ def subm_conv_banded(feats: jnp.ndarray, weight: jnp.ndarray,
                      rule: jnp.ndarray, live_mask: jnp.ndarray,
                      tile: int = DEFAULT_TILE,
                      window: int = DEFAULT_WINDOW,
-                     lo: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Banded-window Pallas submanifold conv (unchecked fast path).
+                     spans: Optional[BandSpans] = None) -> jnp.ndarray:
+    """Packed banded Pallas submanifold conv (unchecked fast path).
 
-    feats (V, Cin) any float dtype; weight (K, Cin, Cout); rule (K, V).
-    V must be a multiple of ``tile`` and >= ``window``.  ``lo`` is the
-    precomputed window-start table from :func:`rule_spans` (recomputed here
-    when absent).
+    feats (V, Cin) any float dtype; weight (27, Cin, Cout); rule (27, V).
+    V must be a multiple of ``tile`` and >= ``window`` (both in voxels).
+    ``spans`` is the precomputed :class:`BandSpans` (recomputed when absent).
     """
     v, cin = feats.shape          # input rows (gather source)
     v_out = rule.shape[1]         # output rows
     k, _, cout = weight.shape
-    assert v_out % tile == 0 and v >= window, (v, v_out, tile, window)
+    assert k == 27 and v_out % tile == 0 and v >= window, (k, v, v_out)
     ntiles = v_out // tile
+    pack, c_unit = _pack_of(cin)
+    window_rows = window // pack
 
-    if lo is None:
-        lo = _tile_lo(rule, tile, window, v)
-    # Mosaic requires DMA slices lane-aligned to 128: pad channels (weights are
-    # zero-padded so no in-kernel slicing is needed; the extra MXU columns are
-    # free relative to the DMA win).
-    cpad = ((cin + 127) // 128) * 128
-    feats_b = feats.astype(jnp.bfloat16)
-    if cpad != cin:
-        feats_b = jnp.pad(feats_b, ((0, 0), (0, cpad - cin)))
-    weight_b = weight.astype(jnp.bfloat16)
-    if cpad != cin:
-        weight_b = jnp.pad(weight_b, ((0, 0), (0, cpad - cin), (0, 0)))
-
+    if spans is None:
+        spans = rule_spans(rule, tile, window, v)
+    feats_p = _pack_feats(feats, pack, c_unit)
+    w_band = _band_weight(weight, c_unit)
     n_live = jnp.sum(live_mask).astype(jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((k, tile), lambda t, lo, nl: (0, t)),   # rule tile
-            pl.BlockSpec(memory_space=pltpu.HBM),                # feats stay in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),               # weights
+            pl.BlockSpec((9, tile), lambda t, lo, nl: (0, t)),   # rd tile
+            pl.BlockSpec(memory_space=pltpu.HBM),                # packed feats
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # flat weights
         ],
         out_specs=pl.BlockSpec((tile, cout), lambda t, lo, nl: (t, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, window, cpad), jnp.bfloat16),
+            pltpu.VMEM((2, window_rows, pack * c_unit), jnp.bfloat16),
             pltpu.VMEM((tile, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_subm_kernel, n_offsets=k, window=window, tile=tile,
-                          out_dtype=feats.dtype),
+        functools.partial(_subm_kernel, window_rows=window_rows, tile=tile,
+                          pack=pack, c_unit=c_unit, out_dtype=feats.dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((v_out, cout), feats.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_INTERPRET,
-    )(lo, n_live, rule, feats_b, weight_b)
+    )(spans.lo, n_live, spans.rd, feats_p, w_band)
     return jnp.where(live_mask[:, None], out, 0)
 
 
@@ -208,8 +322,8 @@ def subm_conv_banded(feats: jnp.ndarray, weight: jnp.ndarray,
 # Weight-gradient kernel: dW[k] = sum_i x[rule[k, i]] g[i]^T
 # ---------------------------------------------------------------------------
 
-def _dw_kernel(lo_ref, n_live_ref, rule_ref, g_ref, x_hbm, out_ref,
-               window_buf, sems, *, n_offsets, window, tile):
+def _dw_kernel(lo_ref, n_live_ref, rd_ref, g_ref, x_hbm, out_ref,
+               window_buf, sems, *, window_rows, tile, pack, c_unit):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -218,65 +332,39 @@ def _dw_kernel(lo_ref, n_live_ref, rule_ref, g_ref, x_hbm, out_ref,
 
     @pl.when(t * tile < n_live_ref[0])
     def _():
-        def dma(k_idx, slot):
-            start = pl.multiple_of(lo_ref[k_idx, t], _ALIGN)
-            return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(start, window), :],
-                window_buf.at[slot],
-                sems.at[slot],
-            )
+        def consume(b, band_cat):
+            # (3*c_unit, T) @ (T, Cout) outer-product accumulate per band
+            out_ref[b] += jax.lax.dot_general(
+                band_cat, g_ref[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-        dma(0, 0).start()
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
-        g_tile = g_ref[:]  # (T, Cout) bf16
-
-        # fori_loop over offsets for code size (see _subm_kernel)
-        def body(k, _):
-            slot = jax.lax.rem(k, 2)
-
-            @pl.when(k + 1 < n_offsets)
-            def _():
-                dma(k + 1, jax.lax.rem(k + 1, 2)).start()
-
-            dma(k, slot).wait()
-
-            rule_k = rule_ref[k, :]
-            rel = rule_k - lo_ref[k, t]
-            valid = (rule_k >= 0) & (rel >= 0) & (rel < window)
-            rel = jnp.where(valid, rel, -1)
-            one_hot = (rel[:, None] == col_ids).astype(jnp.bfloat16)
-
-            gathered = jnp.dot(one_hot, window_buf[slot],
-                               preferred_element_type=jnp.float32)  # (T, Cpad)
-            out_ref[k] += jnp.dot(gathered.astype(jnp.bfloat16).T, g_tile,
-                                  preferred_element_type=jnp.float32)
-            return _
-
-        jax.lax.fori_loop(0, n_offsets, body, None, unroll=False)
+        _gather_bands(t, lo_ref, rd_ref, x_hbm, window_buf, sems,
+                      consume, window_rows=window_rows, tile=tile, pack=pack,
+                      c_unit=c_unit)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window"))
 def rule_conv_dw_banded(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
                         live_mask: jnp.ndarray, tile: int = DEFAULT_TILE,
                         window: int = DEFAULT_WINDOW,
-                        lo: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Weight gradient of a rulebook conv: (K, Cin, Cout) f32.
+                        spans: Optional[BandSpans] = None) -> jnp.ndarray:
+    """Weight gradient of a rulebook conv: (27, Cin, Cout) f32.
 
     x (V_in, Cin) inputs, g (V_out, Cout) output cotangents (must already be
     zero on dead rows).  Same banded windows as the forward; each tile adds a
-    (Cin, Cout) outer-product GEMM into a VMEM-resident accumulator.
+    (27·Cin, Cout) outer-product GEMM into a VMEM-resident accumulator.
     """
     v, cin = x.shape
     v_out, cout = g.shape
     k = rule.shape[0]
-    assert v_out % tile == 0 and v >= window
+    assert k == 27 and v_out % tile == 0 and v >= window
+    pack, c_unit = _pack_of(cin)
+    window_rows = window // pack
 
-    if lo is None:
-        lo = _tile_lo(rule, tile, window, v)
-    cpad = ((cin + 127) // 128) * 128
-    x_b = x.astype(jnp.bfloat16)
-    if cpad != cin:
-        x_b = jnp.pad(x_b, ((0, 0), (0, cpad - cin)))
+    if spans is None:
+        spans = rule_spans(rule, tile, window, v)
+    x_p = _pack_feats(x, pack, c_unit)
     g_b = jnp.where(live_mask[:, None], g, 0).astype(jnp.bfloat16)
     n_live = jnp.sum(live_mask).astype(jnp.int32).reshape(1)
 
@@ -284,38 +372,40 @@ def rule_conv_dw_banded(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(v_out // tile,),
         in_specs=[
-            pl.BlockSpec((k, tile), lambda t, lo, nl: (0, t)),   # rule tile
+            pl.BlockSpec((9, tile), lambda t, lo, nl: (0, t)),    # rd tile
             pl.BlockSpec((tile, cout), lambda t, lo, nl: (t, 0)),  # g tile
-            pl.BlockSpec(memory_space=pltpu.HBM),                # x windows
+            pl.BlockSpec(memory_space=pltpu.HBM),                 # x windows
         ],
-        out_specs=pl.BlockSpec((k, cpad, cout), lambda t, lo, nl: (0, 0, 0)),
+        out_specs=pl.BlockSpec((9, 3 * c_unit, cout),
+                               lambda t, lo, nl: (0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, window, cpad), jnp.bfloat16),
+            pltpu.VMEM((2, window_rows, pack * c_unit), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dw = pl.pallas_call(
-        functools.partial(_dw_kernel, n_offsets=k, window=window, tile=tile),
+        functools.partial(_dw_kernel, window_rows=window_rows, tile=tile,
+                          pack=pack, c_unit=c_unit),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k, cpad, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9, 3 * c_unit, cout), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_INTERPRET,
-    )(lo, n_live, rule, g_b, x_b)
-    return dw[:, :cin, :]
+    )(spans.lo, n_live, spans.rd, g_b, x_p)
+    return dw.reshape(27, c_unit, cout)[:, :cin, :]
 
 
 def rule_conv_fast(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
                    live_mask: jnp.ndarray, tile: int = DEFAULT_TILE,
                    window: int = DEFAULT_WINDOW,
                    center_identity: bool = False,
-                   spans=None, fallback: str = "xla") -> jnp.ndarray:
-    """Exact rulebook conv for any (K, V_out) rule — submanifold (K=27),
-    gather-form strided (K=8), or inverse (K=8): Pallas banded path when every
+                   spans: Optional[BandSpans] = None,
+                   fallback: str = "xla") -> jnp.ndarray:
+    """Exact submanifold rulebook conv: Pallas packed-banded path when every
     rulebook entry is in-window (the overwhelmingly common case on sorted
     voxel data), selected at runtime by ``lax.cond``.  ``spans`` is the
-    shared (lo, ok) from :func:`rule_spans`.
+    level-shared :class:`BandSpans` from :func:`rule_spans`.
 
     ``fallback`` picks the out-of-window branch:
     * "xla": the scan-gather conv — always exact, costs ~1.5 MB of extra
@@ -329,27 +419,29 @@ def rule_conv_fast(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
 
     v = feats.shape[0]
     v_out = rule.shape[1]
-    if v_out % tile != 0 or v < window:
+    if rule.shape[0] != 27 or v_out % tile != 0 or v < window:
         return subm_conv(feats, weight, rule, live_mask,
                          center_identity=center_identity)
 
-    lo, ok = spans if spans is not None else rule_spans(rule, tile, window, v)
+    if spans is None:
+        spans = rule_spans(rule, tile, window, v)
     if fallback == "zeros":
         slow = lambda f: jnp.zeros((v_out, weight.shape[2]), f.dtype)
     else:
         slow = lambda f: subm_conv(f, weight.astype(f.dtype), rule, live_mask,
                                    center_identity=center_identity)
     return jax.lax.cond(
-        ok,
+        spans.ok,
         lambda f: subm_conv_banded(f, weight, rule, live_mask, tile, window,
-                                   lo=lo),
+                                   spans=spans),
         slow,
         feats,
     )
 
 
 def subm_conv_fast(feats, weight, rule, live_mask, tile: int = DEFAULT_TILE,
-                   window: int = DEFAULT_WINDOW, spans=None):
+                   window: int = DEFAULT_WINDOW,
+                   spans: Optional[BandSpans] = None):
     """Submanifold conv dispatch (center column of the rule is the identity)."""
     return rule_conv_fast(feats, weight, rule, live_mask, tile, window,
                           center_identity=True, spans=spans)
@@ -376,9 +468,9 @@ def rule_conv_dw_xla(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
 #
 # pallas_call has no automatic VJP, but rulebook convs transpose beautifully:
 # the relation rule[k][i] = j is inverted by the *paired* rule (the mirrored
-# offset for submanifold convs; the down/inverse rules of the same level for
-# the strided pair), so dx is the same banded kernel with transposed weights,
-# and dW is one extra banded pass accumulating per-tile outer products.
+# offset for submanifold convs), so dx is the same banded kernel with
+# transposed weights, and dW is one extra banded pass accumulating per-tile
+# outer products.
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def rule_conv_ad(feats, weight, rule, rule_t, live_out, live_in,
@@ -386,9 +478,9 @@ def rule_conv_ad(feats, weight, rule, rule_t, live_out, live_in,
                  mirror: bool, center_identity: bool, tile_window=None,
                  fallback: str = "xla"):
     """Differentiable rulebook conv.  ``spans``/``spans_t`` are the shared
-    (lo, ok) precomputes of ``rule``/``rule_t`` (see :func:`rule_spans`);
-    pass None to compute them inline.  ``fallback`` as in
-    :func:`rule_conv_fast`."""
+    :class:`BandSpans` precomputes of ``rule``/``rule_t`` (see
+    :func:`rule_spans`); pass None to compute them inline.  ``fallback`` as
+    in :func:`rule_conv_fast`."""
     tile, window = tile_window or (DEFAULT_TILE, DEFAULT_WINDOW)
     return rule_conv_fast(feats, weight, rule, live_out, tile, window,
                           center_identity=center_identity, spans=spans,
@@ -418,18 +510,17 @@ def _rule_conv_ad_bwd(mirror, center_identity, tile_window, fallback, res, g):
 
     v = feats.shape[0]
     v_out = rule.shape[1]
-    if v_out % tile == 0 and v >= window:
-        lo, ok = (spans if spans is not None
-                  else rule_spans(rule, tile, window, v))
+    if rule.shape[0] == 27 and v_out % tile == 0 and v >= window:
+        sp = spans if spans is not None else rule_spans(rule, tile, window, v)
         if fallback == "zeros":
             slow = lambda a: jnp.zeros(
                 (rule.shape[0], a[0].shape[1], a[1].shape[1]), jnp.float32)
         else:
             slow = lambda a: rule_conv_dw_xla(a[0], a[1], rule, live_out)
         dw = jax.lax.cond(
-            ok,
+            sp.ok,
             lambda a: rule_conv_dw_banded(a[0], a[1], rule, live_out, tile,
-                                          window, lo=lo),
+                                          window, spans=sp),
             slow,
             (feats, g),
         )
