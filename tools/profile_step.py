@@ -87,19 +87,21 @@ def main():
                                   static_spatial_shape=ss, batch_size=1)
         return [(p.subm_rule, p.grid.n_active) for p in plans]
 
-    fwd = model.make_forward(batch_size=1, voxel_capacity=capacity)
+    import sys
+    dtype = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
+    fwd = model.make_forward(batch_size=1, voxel_capacity=capacity,
+                             compute_dtype=dtype)
 
     t_vox, _ = timeit(stage_vox, coords, feats, batch_ids, valid)
+    print(f"voxelize            : {t_vox * 1e3:8.1f} ms", flush=True)
     t_plans, plan_out = timeit(stage_plans, coords, feats, batch_ids, valid)
-    t0 = time.perf_counter()
-    t_full, out = timeit(fwd, params, state, coords, feats, batch_ids, valid,
-                         iters=5)
     per_level = [int(n) for _, n in plan_out]
     print(f"n_voxels_per_level = {per_level}")
-    print(f"voxelize            : {t_vox * 1e3:8.1f} ms")
     print(f"voxelize + plans    : {t_plans * 1e3:8.1f} ms"
-          f"   (plans alone ~{(t_plans - t_vox) * 1e3:.1f} ms)")
-    print(f"full forward        : {t_full * 1e3:8.1f} ms"
+          f"   (plans alone ~{(t_plans - t_vox) * 1e3:.1f} ms)", flush=True)
+    t_full, out = timeit(fwd, params, state, coords, feats, batch_ids, valid,
+                         iters=5)
+    print(f"full forward ({dtype.__name__}): {t_full * 1e3:8.1f} ms"
           f"   (unet+heads alone ~{(t_full - t_plans) * 1e3:.1f} ms)")
     if out[0].get("spans_ok") is not None:
         print(f"spans_ok = {np.asarray(out[0]['spans_ok'])}")
