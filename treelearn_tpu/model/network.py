@@ -79,29 +79,37 @@ def check_capacity(output, voxel_capacity: int, num_blocks: int,
 
 def analytic_model_flops(n_vox_per_level, n_points: int, channels: int = 32,
                          num_blocks: int = 7, block_reps: int = 2,
-                         kernel_size: int = 3, in_channels: int = 4) -> float:
-    """Upper-bound useful FLOPs of one forward pass, from the per-level
-    active-voxel counts (model output ``n_voxels_per_level``).
+                         kernel_size: int = 3, in_channels: int = 4,
+                         rule_nnz_per_level=None) -> float:
+    """Useful FLOPs of one forward pass from the per-level active-voxel
+    counts (model output ``n_voxels_per_level``).
 
     XLA's cost analysis cannot see FLOPs inside scanned/Pallas bodies, so the
-    bench computes the MFU numerator analytically: full k^3 kernel footprint
-    per active voxel (slight overcount at sparse boundaries), all conv +
-    head GEMMs, 2 FLOPs per MAC.
+    bench computes the MFU numerator analytically.  With
+    ``rule_nnz_per_level`` (model output of the same name) the submanifold
+    gather count is exact; otherwise the full k^3 footprint per voxel is
+    assumed (a ~2-3x overcount on surface-like sparsity).  Down/inverse convs
+    count one contributing corner per fine voxel (their useful MACs); 2 FLOPs
+    per MAC.
     """
     import numpy as np
 
     k = kernel_size ** 3
     v = [float(x) for x in np.asarray(n_vox_per_level)]
+    if rule_nnz_per_level is not None:
+        nnz = [float(x) for x in np.asarray(rule_nnz_per_level)]
+    else:
+        nnz = [vi * k for vi in v]
     chans = [channels * (i + 1) for i in range(num_blocks)]
-    flops = v[0] * k * in_channels * chans[0] * 2          # input conv
+    flops = nnz[0] * in_channels * chans[0] * 2            # input conv
     for lvl, c in enumerate(chans):
-        subm = 2 * block_reps * v[lvl] * k * c * c * 2     # head blocks
+        subm = 2 * block_reps * nnz[lvl] * c * c * 2       # head blocks
         if lvl < num_blocks - 1:
-            subm += v[lvl] * k * (2 * c) * c * 2           # tail b0 conv2
-            subm += (2 * block_reps - 1) * v[lvl] * k * c * c * 2
+            subm += nnz[lvl] * (2 * c) * c * 2             # tail b0 conv1
+            subm += (2 * block_reps - 1) * nnz[lvl] * c * c * 2
             c_next = chans[lvl + 1]
-            subm += v[lvl + 1] * 8 * c * c_next * 2        # down conv
-            subm += v[lvl] * 8 * c_next * c * 2            # inverse conv
+            subm += v[lvl] * c * c_next * 2                # down conv
+            subm += v[lvl] * c_next * c * 2                # inverse conv
             subm += v[lvl] * (2 * c) * c * 2               # i_branch 1x1
         flops += subm
     heads = n_points * (channels * channels + channels * 2
@@ -223,8 +231,11 @@ class TreeLearn:
                 f"voxel key space {key_space} overflows int32 keys "
                 f"(batch_size {batch_size} x spatial_shape {self.spatial_shape}); "
                 "reduce the batch size or spatial shape (ops/hashing.py keys)")
+        # numpy, not jnp: a concrete device-array constant created during
+        # tracing is hoisted as an executable buffer; numpy constants inline
+        # into the HLO (see pipeline/inference.py on the jax 0.9 cache issue)
         spatial_shape = (
-            jnp.asarray(self.spatial_shape, jnp.int32)
+            np.asarray(self.spatial_shape, np.int32)
             if self.spatial_shape is not None else None
         )
         vb = voxelize_points(
@@ -285,6 +296,11 @@ class TreeLearn:
             # per-level active counts for host-side overflow guards: a count
             # above its level capacity means voxels were silently dropped
             "n_voxels_per_level": jnp.stack([p.grid.n_active for p in plans]),
+            # per-level subm-rulebook nnz: the exact gather count, used by the
+            # bench to compute useful conv FLOPs (the k^3-footprint analytic
+            # formula overcounts ~2-3x on surface-like sparsity)
+            "rule_nnz_per_level": jnp.stack(
+                [jnp.sum(p.subm_rule >= 0, dtype=jnp.int32) for p in plans]),
         }
         if fast_conv == "zeros":
             # span-ok flags of every rulebook: all True => the slim program's

@@ -34,7 +34,10 @@ import numpy as np
 from .hashing import SENTINEL
 
 _GRID_WIDTH = 30000  # linearized cell-key stride (max grid cells per axis)
-_BIG = jnp.int32(2**30)
+# python int, NOT jnp.int32: a module-level concrete jnp array becomes a
+# hoisted constant buffer in every program that closes over it, which
+# interacts badly with jax 0.9 executable caches (see pipeline/inference.py)
+_BIG = 2**30
 
 
 def _cell_keys(points, valid, cell_size, n_cells_cap: int = _GRID_WIDTH):

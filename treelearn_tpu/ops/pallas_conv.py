@@ -65,7 +65,10 @@ _ALIGN = 64
 # interpreter mode for CPU-side testing of the kernels
 _INTERPRET = os.environ.get("TL_PALLAS_INTERPRET", "0") == "1"
 
-_BIG = jnp.int32(2**30)
+# python int, NOT jnp.int32: a module-level concrete jnp array becomes a
+# hoisted constant buffer in every program that closes over it, which
+# interacts badly with jax 0.9 executable caches (see pipeline/inference.py)
+_BIG = 2**30
 
 
 class BandSpans(NamedTuple):

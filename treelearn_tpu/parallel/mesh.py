@@ -145,15 +145,18 @@ def make_dp_inference_step(model, mesh: Mesh, *, batch_size: int,
         )
         if inner_capacity is None:
             keys = ["semantic_prediction_logits", "offset_predictions",
-                    "n_voxels_per_level"]
+                    "n_voxels_per_level", "rule_nnz_per_level"]
             if need_backbone:
                 keys.append("backbone_feats")
             return {k: output[k][None] for k in keys}
-        # rows not shipped: host recomputes the identical stable-argsort
-        # selection from its own masks (see train/loop.py:make_eval_step)
+        # rows not shipped: host recomputes the identical selection from its
+        # own masks; cumsum+scatter compaction, not a sort (see
+        # train/loop.py:make_eval_step)
         keep = batch["masks_inner"] & batch["valid"]
-        order = jnp.argsort(jnp.logical_not(keep), stable=True)
-        idx = order[:inner_capacity]
+        n = keep.shape[0]
+        slot = jnp.where(keep, jnp.cumsum(keep) - 1, inner_capacity)
+        idx = jnp.zeros((inner_capacity,), jnp.int32).at[slot].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
         out = {
             "n_keep": jnp.sum(keep, dtype=jnp.int32),
             "semantic_prediction_logits":
@@ -161,6 +164,7 @@ def make_dp_inference_step(model, mesh: Mesh, *, batch_size: int,
             "offset_predictions":
                 output["offset_predictions"][idx].astype(jnp.float16),
             "n_voxels_per_level": output["n_voxels_per_level"],
+            "rule_nnz_per_level": output["rule_nnz_per_level"],
         }
         if need_backbone:
             out["backbone_feats"] = output["backbone_feats"][idx].astype(jnp.float16)

@@ -189,19 +189,23 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         prev = tm.get("n_vox_levels")
         tm["n_vox_levels"] = (counts if prev is None
                               else np.maximum(prev, counts))
+        if "rule_nnz_per_level" in output:
+            nnz = np.asarray(output["rule_nnz_per_level"])
+            prev = tm.get("rule_nnz")
+            tm["rule_nnz"] = nnz if prev is None else np.maximum(prev, nnz)
         n_keep = int(np.asarray(output["n_keep"]))
         if n_keep > inner_cap:  # unreachable: cap sized from the same masks
             raise RuntimeError(
                 f"inner compaction overflow: {n_keep} > {inner_cap}")
         # reproduce the device's compaction selection from the host-side
-        # masks (stable argsort of a boolean key is deterministic) instead of
-        # shipping the (N,) rows array over the slow D2H direction
+        # masks instead of shipping the (N,) rows array over the slow D2H
+        # direction: the device packs keep rows in original order (cumsum+
+        # scatter, train/loop.py:make_eval_step), so the selection is simply
+        # the first inner_cap set bits
         keep = np.asarray(batch["masks_inner"]) & np.asarray(batch["valid"])
-        idx = np.argsort(~keep, kind="stable")[:inner_cap]
-        sel_mask = keep[idx]
-        rows = np.where(sel_mask, idx, -1)
-        sel = rows[rows >= 0]
-        got = rows >= 0
+        sel = np.flatnonzero(keep)[:inner_cap]
+        got = np.zeros(inner_cap, bool)
+        got[:len(sel)] = True
         coords = np.asarray(batch["coords"])[sel] + np.asarray(batch["centers"])[sel]
         outs["semantic_prediction_logits"].append(
             np.asarray(output["semantic_prediction_logits"],
@@ -281,19 +285,20 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
                                   compute_dtype=compute_dtype,
                                   inner_capacity=inner_cap,
                                   need_backbone=need_backbone)
-            compiled = step.lower(params, state, jbatch).compile()
+            # deliberately NOT step.lower(...).compile(): in jax 0.9, AOT
+            # lowering a program whose trace closed over concrete device
+            # arrays (hoisted constants) poisons the jit's executable cache —
+            # subsequent calls fail a buffer-count check ("supplied 96
+            # buffers but compiled program expected 100").  The first real
+            # call compiles through the normal jit path (and the persistent
+            # compile cache); its wall time is compile-dominated and is what
+            # compile_s reports.
+            jax.block_until_ready(step(params, state, jbatch))
             dt = time.time() - t0
             tm["compile_s"] += dt
-            try:
-                cost = compiled.cost_analysis()
-                cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-                tm["flops_per_step"] = max(tm["flops_per_step"],
-                                           float(cost.get("flops", 0.0)))
-            except Exception:
-                pass
             if logger:
                 logger.info(f"compiled bucket {key[-3:]} in {dt:.1f}s")
-            step_cache[key] = compiled
+            step_cache[key] = step
         eval_step = step_cache[key]
 
         t0 = time.time()

@@ -113,7 +113,12 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
     xyz = data[:, :3].astype(np.float64)
     xyz_mean = np.mean(xyz, 0)
     centered_path = osp.join(osp.dirname(config.forest_path), plot_name + "_centered.npz")
-    np.savez(centered_path, points=(xyz - xyz_mean).astype(np.float32))
+    # keep the label column: the reference re-saves coords AND labels
+    # (pipeline.py:46-50); labels ride through voxelization (first-point-per-
+    # voxel) into the pointwise dump, where the evaluation joins on them
+    np.savez(centered_path, points=(xyz - xyz_mean).astype(np.float32),
+             labels=(data[:, 3] if data.shape[1] > 3
+                     else np.full(len(data), -1.0)))
     config.forest_path = centered_path
     _stage("load_center")
 
@@ -214,7 +219,10 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
                                     voxel_capacity=voxel_capacity,
                                     compute_dtype=compute_dtype, logger=logger,
                                     timings=model_timings, mesh=mesh,
-                                    need_backbone=bool(config.save_cfg.save_pointwise))
+                                    need_backbone=bool(
+                                        config.save_cfg.save_pointwise
+                                        and config.save_cfg.get(
+                                            "save_backbone_feats", True)))
     _stage("inference")
     (semantic_prediction_logits, semantic_labels, offset_predictions,
      offset_labels, coords, instance_labels, backbone_feats, input_feats) = pointwise

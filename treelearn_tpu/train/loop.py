@@ -147,13 +147,19 @@ def make_eval_step(model, *, batch_size: int, voxel_capacity: int,
                 output = {k: v for k, v in output.items()
                           if k != "backbone_feats"}
             return output
-        # NOTE: the selection (stable argsort of ~keep) is NOT shipped to the
-        # host — the host recomputes the identical rows from its own copy of
-        # the masks (stable sort of a boolean key is deterministic), saving
-        # the (N,) int32 D2H on a tunnel that can drop to ~0.1 MB/s
+        # NOTE: the selection is NOT shipped to the host — the host
+        # recomputes the identical rows from its own copy of the masks
+        # (np.flatnonzero(keep)[:inner_capacity]), saving the (N,) int32 D2H
+        # on a tunnel that can drop to ~0.1 MB/s.  Compaction is a
+        # cumsum+scatter (O(N)), not a sort: an argsort over the padded
+        # capacity cost ~0.5 s/step at V=512k on v5e — several times the
+        # U-Net it was post-processing.  Slots past n_keep hold row 0; the
+        # host masks them out.
         keep = batch["masks_inner"] & batch["valid"]
-        order = jnp.argsort(jnp.logical_not(keep), stable=True)
-        idx = order[:inner_capacity]
+        n = keep.shape[0]
+        slot = jnp.where(keep, jnp.cumsum(keep) - 1, inner_capacity)
+        idx = jnp.zeros((inner_capacity,), jnp.int32).at[slot].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
         out = {
             "n_keep": jnp.sum(keep, dtype=jnp.int32),
             "semantic_prediction_logits":
@@ -162,6 +168,7 @@ def make_eval_step(model, *, batch_size: int, voxel_capacity: int,
                 output["offset_predictions"][idx].astype(jnp.float16),
             "n_voxels": output["n_voxels"],
             "n_voxels_per_level": output["n_voxels_per_level"],
+            "rule_nnz_per_level": output["rule_nnz_per_level"],
         }
         if "spans_ok" in output:
             out["spans_ok"] = output["spans_ok"]
