@@ -229,7 +229,11 @@ def compute_verticality(points: np.ndarray, search_radius: float = 0.6,
         vmask[:n] = True
         ref_j, rv_j = jnp.asarray(pts), jnp.asarray(vmask)
         rem = np.where(need)[0]
-        qb = min(chunk, size)
+        # block size follows the actual straggler count (pow-2 bucketed so a
+        # handful of banded-overflow queries costs a ~1k pass, not a full
+        # 256k one — the XLA gather pass scales linearly in query rows)
+        qb = min(chunk, size,
+                 1 << max(int(np.ceil(np.log2(max(len(rem), 1)))), 10))
         for lo in range(0, len(rem), qb):
             hi = min(lo + qb, len(rem))
             blk = np.zeros((qb, 3), np.float32)
