@@ -1,0 +1,207 @@
+"""Ablate the banded subm-conv kernel stages to locate the bottleneck.
+
+Variants (all same grid/DMA structure, consume() altered):
+  full     — the real kernel
+  nosel    — skip the 2p-way lane-group select: use g_lo slices directly
+  noonehot — skip the one-hot MXU gathers: use static window rows
+  dmaonly  — skip gather+select: feed zeros to the weight GEMM
+  noloop   — no DMA, no gather: zeros through weight GEMM only
+"""
+
+import os
+import sys
+import time
+import functools
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from treelearn_tpu.data.synthetic import make_synthetic_forest
+from treelearn_tpu.ops.sparse import (build_dense_table, build_subm_rulebook,
+                                      grid_from_sorted_keys)
+from treelearn_tpu.ops.pallas_conv import rule_spans, _pack_feats, _band_weight
+
+TILE, WINDOW = 128, 512
+_ALIGN = 64
+
+
+def make_kernel(variant, window_rows, tile, pack, c_unit, cout):
+    shift = {1: 0, 2: 1, 4: 2}[pack]
+
+    def kernel(lo_ref, n_live_ref, rd_ref, feats_hbm, w_ref, out_ref,
+               window_buf, acc_ref, sems):
+        t = pl.program_id(0)
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(t * tile < n_live_ref[0])
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+            def dma(b_idx, slot):
+                start = pl.multiple_of(lo_ref[b_idx, t] // pack, _ALIGN // pack)
+                return pltpu.make_async_copy(
+                    feats_hbm.at[pl.ds(start, window_rows), :],
+                    window_buf.at[slot], sems.at[slot])
+
+            if variant != "noloop":
+                dma(0, 0).start()
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, window_rows), 1)
+
+            def body(b, _):
+                slot = jax.lax.rem(b, 2)
+                if variant != "noloop":
+                    @pl.when(b + 1 < 9)
+                    def _():
+                        dma(b + 1, jax.lax.rem(b + 1, 2)).start()
+                    dma(b, slot).wait()
+
+                rd = rd_ref[b, :]
+                has = rd >= 0
+                r0 = jax.lax.shift_right_arithmetic(rd, 6)
+                lo_row = lo_ref[b, t] // pack
+                if variant in ("full", "nosel"):
+                    q0 = jnp.clip(jax.lax.shift_right_arithmetic(r0, shift) - lo_row,
+                                  0, window_rows - 2)
+                    q0m = jnp.where(has, q0, -1)
+                    onehot = (q0m[:, None] == col_ids)
+                    g_lo = jnp.dot(onehot.astype(jnp.bfloat16), window_buf[slot],
+                                   preferred_element_type=jnp.float32
+                                   ).astype(jnp.bfloat16)
+                    onehot1 = (jnp.where(has, q0 + 1, -1)[:, None] == col_ids)
+                    g_hi = jnp.dot(onehot1.astype(jnp.bfloat16), window_buf[slot],
+                                   preferred_element_type=jnp.float32
+                                   ).astype(jnp.bfloat16)
+                    m = jax.lax.bitwise_and(r0, pack - 1)
+                sels = []
+                for dz in range(3):
+                    if variant == "full":
+                        dd = jax.lax.bitwise_and(
+                            jax.lax.shift_right_logical(rd, 2 * dz), 3) - 1
+                        vmask = has & (dd >= 0)
+                        ph = jnp.where(vmask, m + dd, -1)
+                        sel = jnp.zeros((tile, c_unit), jnp.bfloat16)
+                        for pv in range(2 * pack):
+                            src = g_lo if pv < pack else g_hi
+                            lane = (pv % pack) * c_unit
+                            sel = sel + jnp.where(
+                                ph[:, None] == pv,
+                                src[:, lane:lane + c_unit], 0)
+                    elif variant == "nosel":
+                        lane = dz % pack * c_unit
+                        sel = g_lo[:, lane:lane + c_unit]
+                    elif variant == "noonehot":
+                        dd = jax.lax.bitwise_and(
+                            jax.lax.shift_right_logical(rd, 2 * dz), 3) - 1
+                        vmask = has & (dd >= 0)
+                        ph = jnp.where(vmask, dd, -1)
+                        g_lo2 = window_buf[slot][0:tile]
+                        sel = jnp.zeros((tile, c_unit), jnp.bfloat16)
+                        for pv in range(2 * pack):
+                            lane = (pv % pack) * c_unit
+                            sel = sel + jnp.where(
+                                ph[:, None] == pv,
+                                g_lo2[:, lane:lane + c_unit], 0)
+                    else:
+                        sel = jnp.zeros((tile, c_unit), jnp.bfloat16)
+                    sels.append(sel)
+                acc_ref[:] += jnp.dot(jnp.concatenate(sels, axis=1), w_ref[b],
+                                      preferred_element_type=jnp.float32)
+                return _
+
+            jax.lax.fori_loop(0, 9, body, None, unroll=False)
+            out_ref[:] = acc_ref[:].astype(jnp.bfloat16)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("variant",))
+def run_variant(lo, n_live, rd, feats_p, w_band, variant):
+    capacity = rd.shape[1]
+    pack, c_unit = 4, 32
+    cout = w_band.shape[2]
+    window_rows = WINDOW // pack
+    ntiles = capacity // TILE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((9, TILE), lambda t, lo, nl: (0, t)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, cout), lambda t, lo, nl: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, window_rows, pack * c_unit), jnp.bfloat16),
+            pltpu.VMEM((TILE, cout), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        make_kernel(variant, window_rows, TILE, pack, c_unit, cout),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((capacity, cout), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(lo, n_live, rd, feats_p, w_band)
+    return jnp.sum(out).astype(jnp.float32)
+
+
+def main():
+    capacity = 1 << 19
+    data, _ = make_synthetic_forest(n_trees=48, extent=60.0, points_per_tree=9000,
+                                    ground_points=968000 - 48 * 9000, seed=3)
+    xyz = data[:, :3].astype(np.float32)
+    xyz -= xyz.min(0)
+    keys = np.unique((np.floor(xyz / 0.1).astype(np.int64)
+                      @ np.array([640 * 192, 192, 1], np.int64)))
+    rng = np.random.default_rng(0)
+    keys = np.sort(rng.choice(keys, 437740, replace=False))
+    n = len(keys)
+    keys_pad = np.full(capacity, np.iinfo(np.int32).max, np.int32)
+    keys_pad[:n] = keys
+    k0 = jnp.asarray(keys_pad)
+    g0 = grid_from_sorted_keys(k0, jnp.asarray(np.array([640, 640, 192], np.int32)),
+                               jnp.int32(n))
+    table = build_dense_table(g0, 640 * 640 * 192)
+    rule = jax.jit(lambda g, t: build_subm_rulebook(g, 3, dense_table=t))(g0, table)
+    spans = jax.jit(lambda r: rule_spans(r, TILE, WINDOW, capacity))(rule)
+    print("spans ok:", bool(np.asarray(spans.ok)))
+
+    w = jnp.asarray(rng.normal(size=(27, 32, 32)).astype(np.float32) * 0.1,
+                    jnp.bfloat16)
+    w_band = jax.jit(lambda ww: _band_weight(ww, 32))(w)
+    fsets = [jax.jit(lambda f_: _pack_feats(f_, 4, 32))(
+        jnp.asarray(rng.normal(size=(capacity, 32)).astype(np.float32),
+                    jnp.bfloat16)) for _ in range(3)]
+    n_live = jnp.asarray([n], jnp.int32)
+
+    f_rtt = jax.jit(lambda x: x + 1)
+    float(f_rtt(jnp.float32(0)))
+    ts = []
+    for i in range(4):
+        t0 = time.perf_counter(); float(f_rtt(jnp.float32(i)))
+        ts.append(time.perf_counter() - t0)
+    rtt = min(ts)
+    print(f"RTT {rtt*1e3:.1f}ms")
+
+    for variant in ("full", "nosel", "noonehot", "dmaonly", "noloop"):
+        float(run_variant(spans.lo, n_live, spans.rd, fsets[0], w_band, variant))
+        best = 1e9
+        for i in range(4):
+            t0 = time.perf_counter()
+            float(run_variant(spans.lo, n_live, spans.rd, fsets[i % 3], w_band,
+                              variant))
+            best = min(best, time.perf_counter() - t0)
+        print(f"{variant:9s} {max(best-rtt,0)*1e3:7.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

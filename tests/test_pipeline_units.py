@@ -27,6 +27,23 @@ def test_ensemble_groupby_mean():
     np.testing.assert_allclose(out_vals[1 - i], [10.0])
 
 
+def test_ensemble_identity_fast_path():
+    """All-unique rounded coords take the singleton fast path; output must
+    match the general groupby ordering and values (multi-column arrays)."""
+    rng = np.random.default_rng(7)
+    coords = np.round(rng.uniform(0, 20, (500, 3)), 2)
+    coords = np.unique(coords, axis=0)
+    vals2 = rng.normal(size=(len(coords), 2)).astype(np.float32)
+    vals1 = rng.normal(size=(len(coords),)).astype(np.float32)
+    out_coords, o2, o1 = ensemble(coords, vals2, vals1)
+    assert len(out_coords) == len(coords)
+    # general path's output order is sorted-key order; verify by matching rows
+    order = np.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+    np.testing.assert_allclose(out_coords, coords[order], atol=1e-6)
+    np.testing.assert_allclose(o2, vals2[order], atol=1e-6)
+    np.testing.assert_allclose(o1, vals1[order], atol=1e-6)
+
+
 def test_propagate_by_key():
     src = np.array([[0.1, 0.2, 0.3], [5.0, 5.0, 5.0]])
     vals = np.array([7, 9])

@@ -41,6 +41,17 @@ def ensemble(coords: np.ndarray, *value_arrays: np.ndarray,
     n_groups = int(gid[-1]) + 1 if len(gid) else 0
     starts = np.flatnonzero(first)
 
+    if n_groups == len(keys):
+        # identity fast path: every rounded coordinate is already unique
+        # (always true for whole-plot single-pass inference, where each voxel
+        # is predicted exactly once) — the groupby mean of singletons is the
+        # row itself, in the same sorted-key output order as the general path
+        results = [q[order].astype(np.float32)]
+        for arr in value_arrays:
+            arr = np.asarray(arr)
+            results.append(arr[order].astype(np.float32))
+        return tuple(results)
+
     inv = np.empty(len(keys), np.int64)
     inv[order] = gid
     counts = np.bincount(inv, minlength=n_groups).astype(np.float64)

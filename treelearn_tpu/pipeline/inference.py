@@ -322,6 +322,9 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         t0 = time.time()
         jax.block_until_ready(step(params, state, jbatch))
         tm["pure_step_s"] = time.time() - t0
+        # instrumentation, not pipeline work: callers subtract this from
+        # their stage wall-clock
+        tm["timing_rerun_s"] = tm["pure_step_s"]
 
     cat = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
     return (cat["semantic_prediction_logits"], cat["semantic_labels"],

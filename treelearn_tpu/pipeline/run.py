@@ -223,6 +223,9 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
                                         config.save_cfg.save_pointwise
                                         and config.save_cfg.get(
                                             "save_backbone_feats", True)))
+    # the MFU pure-step re-dispatch inside get_pointwise_preds is
+    # instrumentation, not pipeline work — keep it out of the stage time
+    _last[0] += model_timings.get("timing_rerun_s", 0.0)
     _stage("inference")
     (semantic_prediction_logits, semantic_labels, offset_predictions,
      offset_labels, coords, instance_labels, backbone_feats, input_feats) = pointwise
@@ -268,7 +271,13 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
     if config.save_cfg.save_pointwise:
         pointwise_dir = osp.join(results_dir, "pointwise_results")
         os.makedirs(pointwise_dir, exist_ok=True)
-        np.savez_compressed(
+        # uncompressed: deflate on ~10^7-row float arrays costs seconds per
+        # plot and the dump is a scratch artifact (compress_pointwise: true
+        # restores the small-file behavior)
+        _savez = (np.savez_compressed
+                  if config.save_cfg.get("compress_pointwise", False)
+                  else np.savez)
+        _savez(
             osp.join(pointwise_dir, "pointwise_results.npz"),
             coords=coords, offset_predictions=offset_predictions,
             offset_labels=offset_labels,
@@ -284,6 +293,7 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
         keep = instance_preds != NON_TREES_LABEL_IN_GROUPING
         save_data(np.hstack([shifted[keep], instance_preds[keep][:, None]]),
                   "las", "cluster_coords", pointwise_dir)
+        _stage("save_pointwise")
 
     # remove outer points
     if config.shape_cfg.outer_remove:
