@@ -205,3 +205,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# --- variant experiments appended: widesel (T,96 fused select), slotgemm ----

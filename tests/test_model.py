@@ -202,3 +202,48 @@ def test_spans_overflow_guard():
     import pytest
     with pytest.raises(SpansOverflow):
         check_capacity(bad, 512, 2, context="test: ")
+
+
+def test_rule_free_zeros_program_matches_xla(monkeypatch):
+    """fast_conv='zeros' with rule-free plans (Pallas rd kernel, interpret
+    mode) must reproduce the XLA rule path bit-for-bit when no span
+    overflows, including rule_nnz accounting."""
+    import treelearn_tpu.ops.pallas_conv as pconv
+    import treelearn_tpu.ops.pallas_rd as prd
+
+    monkeypatch.setattr(pconv, "_INTERPRET", True)
+    monkeypatch.setattr(prd, "_INTERPRET", True)
+
+    # capacity must admit the banded kernels (>= window, % tile == 0)
+    model = TreeLearn(channels=4, num_blocks=2, kernel_size=3, dim_coord=3,
+                      dim_feat=1, use_coords=False, use_feats=False,
+                      spatial_shape=[64, 64, 64], voxel_size=0.1)
+    params, state = model.init(3)
+    rng = np.random.default_rng(5)
+    n = 3000
+    coords = rng.uniform(0, 6.0, (n, 3)).astype(np.float32)
+    feats = rng.normal(size=(n, 1)).astype(np.float32)
+    batch_ids = np.zeros(n, np.int32)
+    valid = np.ones(n, bool)
+    args = (jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(batch_ids),
+            jnp.asarray(valid))
+
+    # capacity with headroom: uniform-random 3D data does not halve per
+    # level (L1 keeps ~95% of L0's voxels), and a nearly-full level grid
+    # legitimately trips the window-clip margin at the last tile
+    cap = 16384
+    out_ref, _ = model.apply(params, state, *args, batch_size=1,
+                             voxel_capacity=cap, fast_conv=False)
+    out_z, _ = model.apply(params, state, *args, batch_size=1,
+                           voxel_capacity=cap, fast_conv="zeros")
+    assert bool(np.asarray(out_z["spans_ok"]).all())
+    np.testing.assert_array_equal(
+        np.asarray(out_ref["rule_nnz_per_level"]),
+        np.asarray(out_z["rule_nnz_per_level"]))
+    # bf16 MXU one-hot gathers vs f32 XLA gathers: tolerance, not bit-equal
+    np.testing.assert_allclose(
+        np.asarray(out_ref["semantic_prediction_logits"]),
+        np.asarray(out_z["semantic_prediction_logits"]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_ref["offset_predictions"]),
+        np.asarray(out_z["offset_predictions"]), atol=1e-4)

@@ -323,9 +323,17 @@ class LevelPlan(NamedTuple):
 def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
                       capacities: Sequence[int],
                       static_spatial_shape: Optional[Sequence[int]] = None,
-                      batch_size: int = 1) -> Tuple[LevelPlan, ...]:
+                      batch_size: int = 1,
+                      rule_free: bool = False) -> Tuple[LevelPlan, ...]:
     """Build all rulebooks for a tile once (reference builds them lazily inside
     spconv and caches by indice_key; we do it up front, still one-time work).
+
+    ``rule_free`` (the fast_conv="zeros" program): levels whose shapes admit
+    the banded kernels get their BandSpans straight from the sorted keys via
+    the Pallas rd kernel (ops/pallas_rd.py) and carry ``subm_rule=None`` —
+    the (27, V) rule and its 27 dense-table probes (~220 ms at 512k voxels on
+    v5e) are never materialized.  Requires kernel_size == 3 and a static
+    spatial shape; other levels fall back to the table-probe build.
 
     With a static spatial shape, neighbor probes use per-level dense
     direct-address tables (ops/sparse.py:build_dense_table) — one scatter per
@@ -343,11 +351,23 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
     g = grid
     shape = tuple(static_spatial_shape) if static_spatial_shape is not None else None
     for lvl in range(num_levels):
-        table = None
-        if shape is not None:
-            table_size = batch_size * shape[0] * shape[1] * shape[2]
-            table = build_dense_table(g, table_size)
-        rule = build_subm_rulebook(g, kernel_size, dense_table=table)
+        cap = int(g.capacity)
+        banded_ok = (cap % DEFAULT_TILE == 0 and cap >= DEFAULT_WINDOW
+                     and cap % 128 == 0)
+        if rule_free and shape is not None and kernel_size == 3 and banded_ok:
+            from ..ops.pallas_rd import build_spans_banded
+
+            rule = None
+            spans = build_spans_banded(
+                g.keys, spatial_shape=shape, capacity=cap,
+                tile=DEFAULT_TILE, window=DEFAULT_WINDOW)
+        else:
+            table = None
+            if shape is not None:
+                table_size = batch_size * shape[0] * shape[1] * shape[2]
+                table = build_dense_table(g, table_size)
+            rule = build_subm_rulebook(g, kernel_size, dense_table=table)
+            spans = spans_for(rule, cap)
         if lvl < num_levels - 1:
             out_table = None
             if shape is not None:
@@ -357,15 +377,14 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
                                   out_table_size=out_table)
             plans.append(LevelPlan(
                 grid=g, subm_rule=rule, down=rb,
-                down_rule=None, inv_rule=None,
-                subm_spans=spans_for(rule, g.capacity)))
+                down_rule=None, inv_rule=None, subm_spans=spans))
             g = rb.out_grid
             if shape is not None:
                 shape = tuple(s // 2 for s in shape)
         else:
             plans.append(LevelPlan(grid=g, subm_rule=rule, down=None,
                                    down_rule=None, inv_rule=None,
-                                   subm_spans=spans_for(rule, g.capacity)))
+                                   subm_spans=spans))
     return tuple(plans)
 
 

@@ -19,6 +19,7 @@ import numpy as np
 
 from ..ops.voxelize import devoxelize, voxelize_points
 from ..ops.sparse import grid_from_sorted_keys
+from ..ops.pallas_rd import rd_nnz
 from .blocks import (
     apply_bn,
     apply_mlp,
@@ -246,24 +247,30 @@ class TreeLearn:
             use_coords=self.use_coords, use_feats=self.use_feats,
         )
 
-        caps = default_capacities(voxel_capacity, self.num_blocks)
-        grid0 = grid_from_sorted_keys(vb.voxel_keys, vb.spatial_shape, vb.n_voxels)
-        plans = build_level_plans(grid0, self.num_blocks, self.kernel_size, caps,
-                                  static_spatial_shape=self.spatial_shape,
-                                  batch_size=batch_size)
-
         if fast_conv is None:
             # default on TPU: the slim zeros-fallback program (executable is
             # ~2/3 the size; span overflows surface via check_capacity and
             # the caller retries with fast_conv=True)
             fast_conv = "zeros" if jax.default_backend() == "tpu" else False
+
+        caps = default_capacities(voxel_capacity, self.num_blocks)
+        grid0 = grid_from_sorted_keys(vb.voxel_keys, vb.spatial_shape, vb.n_voxels)
+        plans = build_level_plans(grid0, self.num_blocks, self.kernel_size, caps,
+                                  static_spatial_shape=self.spatial_shape,
+                                  batch_size=batch_size,
+                                  # the zeros program never takes an XLA
+                                  # fallback branch, so (27, V) rules are
+                                  # skipped entirely: spans come from the
+                                  # Pallas rd kernel (ops/pallas_rd.py)
+                                  rule_free=(fast_conv == "zeros"))
         x = vb.voxel_feats.astype(compute_dtype)
         new_state = {}
         frozen = lambda name: name in self.fixed_modules  # noqa: E731
 
         from .blocks import _subm
         x = _subm(x, params["input_conv"]["0"]["weight"],
-                  plans[0].subm_rule, grid0.live_mask, fast_conv)
+                  plans[0].subm_rule, grid0.live_mask, fast_conv,
+                  spans=plans[0].subm_spans)
 
         x, s = apply_ublock(params["unet"], state["unet"], x, plans, 0,
                             block_reps=self.block_reps, training=training,
@@ -300,7 +307,9 @@ class TreeLearn:
             # bench to compute useful conv FLOPs (the k^3-footprint analytic
             # formula overcounts ~2-3x on surface-like sparsity)
             "rule_nnz_per_level": jnp.stack(
-                [jnp.sum(p.subm_rule >= 0, dtype=jnp.int32) for p in plans]),
+                [jnp.sum(p.subm_rule >= 0, dtype=jnp.int32)
+                 if p.subm_rule is not None else rd_nnz(p.subm_spans.rd)
+                 for p in plans]),
         }
         if fast_conv == "zeros":
             # span-ok flags of every rulebook: all True => the slim program's

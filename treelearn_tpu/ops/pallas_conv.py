@@ -51,13 +51,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# (tile, window) = (128, 512): selection-GEMM FLOPs scale with window alone
-# (T cancels), while within-tile index spread scales with tile — T=256 tiles
-# overflowed 512-windows on centered plots (L0/L1 spread > 256), silently
-# routing the HOT submanifold convs to the fallback.  The window is in
-# *voxels*; the kernel divides by the pack factor to get DMA rows.
-DEFAULT_TILE = 128
-DEFAULT_WINDOW = 512
+# (tile, window) = (256, 1024): measured fastest of the ok=True configs on
+# the bench forest (scripts/ablate_conv2.py sweep: 18.1 ms vs 21.8 at
+# 128/512, vs 33 for the pre-widesel kernel).  The within-tile index spread
+# scales with tile, so window must scale with it — T=256 over 512-windows
+# overflowed on centered plots.  The window is in *voxels*; the kernel
+# divides by the pack factor to get DMA rows.
+DEFAULT_TILE = 256
+DEFAULT_WINDOW = 1024
 # window starts are aligned down to 64 voxels so the packed-row DMA start is
 # a multiple of the bf16 sublane tile (16) for every pack factor p ∈ {1,2,4}
 _ALIGN = 64
@@ -198,30 +199,45 @@ def _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems, consume,
                            preferred_element_type=jnp.float32
                            ).astype(jnp.bfloat16)
             m = jax.lax.bitwise_and(r0, pack - 1)           # r0 % p
-        sels = []
-        for dz in range(3):
-            dd = jax.lax.bitwise_and(
-                jax.lax.shift_right_logical(rd, 2 * dz), 3) - 1
-            vmask = has & (dd >= 0)
-            if pack == 1:
+        if pack == 1:
+            sels = []
+            for dz in range(3):
+                dd = jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(rd, 2 * dz), 3) - 1
+                vmask = has & (dd >= 0)
                 # slot r0+dd is within [q0, q0+2] of the window (ok margin)
                 rel = jnp.clip(r0 + dd - lo_row, 0, window_rows - 1)
                 relm = jnp.where(vmask, rel, -1)
                 oh = (relm[:, None] == col_ids).astype(jnp.bfloat16)
-                sel = jnp.dot(oh, window_buf[slot],
-                              preferred_element_type=jnp.float32
-                              ).astype(jnp.bfloat16)
-            else:
-                ph = jnp.where(vmask, m + dd, -1)            # in [0, 2p) / -1
-                sel = jnp.zeros((tile, c_unit), jnp.bfloat16)
-                for pv in range(2 * pack):
-                    src = g_lo if pv < pack else g_hi
-                    lane = (pv % pack) * c_unit
-                    sel = sel + jnp.where(
-                        ph[:, None] == pv,
-                        src[:, lane:lane + c_unit], 0)
-            sels.append(sel)
-        consume(b, jnp.concatenate(sels, axis=1))            # (T, 3*c_unit)
+                sels.append(jnp.dot(oh, window_buf[slot],
+                                    preferred_element_type=jnp.float32
+                                    ).astype(jnp.bfloat16))
+            consume(b, jnp.concatenate(sels, axis=1))        # (T, 3*c_unit)
+            return _
+
+        # fused wide select: one (T, 3*c_unit) phase plane serves all three
+        # dz lanes at once — the per-dz (T, c_unit) form wasted 3/4 of the
+        # VPU lanes at c_unit=32 and was 58% of kernel time (ablation in
+        # scripts/ablate_conv.py).  Phases m+dd span [0, pack+1]: pack+2
+        # iterations, g_hi contributes only its first two lane groups.
+        phs = []
+        for dz in range(3):
+            dd = jax.lax.bitwise_and(
+                jax.lax.shift_right_logical(rd, 2 * dz), 3) - 1
+            phs.append(jnp.where(has & (dd >= 0), m + dd, -1))
+        lane3 = jax.lax.broadcasted_iota(
+            jnp.int32, (tile, 3 * c_unit), 1) // c_unit
+        ph_plane = jnp.where(
+            lane3 == 0, phs[0][:, None],
+            jnp.where(lane3 == 1, phs[1][:, None], phs[2][:, None]))
+        sel_cat = jnp.zeros((tile, 3 * c_unit), jnp.bfloat16)
+        for pv in range(pack + 2):
+            src = g_lo if pv < pack else g_hi
+            lane = (pv % pack) * c_unit
+            blk = src[:, lane:lane + c_unit]
+            wide = jnp.concatenate([blk, blk, blk], axis=1)
+            sel_cat = sel_cat + jnp.where(ph_plane == pv, wide, 0)
+        consume(b, sel_cat)                                  # (T, 3*c_unit)
         return _
 
     jax.lax.fori_loop(0, 9, body, None, unroll=False)
@@ -269,18 +285,19 @@ def _band_weight(weight: jnp.ndarray, c_unit: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("tile", "window"))
 def subm_conv_banded(feats: jnp.ndarray, weight: jnp.ndarray,
-                     rule: jnp.ndarray, live_mask: jnp.ndarray,
+                     rule: Optional[jnp.ndarray], live_mask: jnp.ndarray,
                      tile: int = DEFAULT_TILE,
                      window: int = DEFAULT_WINDOW,
                      spans: Optional[BandSpans] = None) -> jnp.ndarray:
     """Packed banded Pallas submanifold conv (unchecked fast path).
 
-    feats (V, Cin) any float dtype; weight (27, Cin, Cout); rule (27, V).
-    V must be a multiple of ``tile`` and >= ``window`` (both in voxels).
-    ``spans`` is the precomputed :class:`BandSpans` (recomputed when absent).
+    feats (V, Cin) any float dtype; weight (27, Cin, Cout); rule (27, V) —
+    may be None when ``spans`` is given (the rd-kernel flow,
+    ops/pallas_rd.py, never materializes the rule).  V must be a multiple of
+    ``tile`` and >= ``window`` (both in voxels).
     """
     v, cin = feats.shape          # input rows (gather source)
-    v_out = rule.shape[1]         # output rows
+    v_out = rule.shape[1] if rule is not None else spans.rd.shape[1]
     k, _, cout = weight.shape
     assert k == 27 and v_out % tile == 0 and v >= window, (k, v, v_out)
     ntiles = v_out // tile
@@ -357,11 +374,12 @@ def rule_conv_dw_banded(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
     x (V_in, Cin) inputs, g (V_out, Cout) output cotangents (must already be
     zero on dead rows).  Same banded windows as the forward; each tile adds a
     (27·Cin, Cout) outer-product GEMM into a VMEM-resident accumulator.
+    ``rule`` may be None when ``spans`` is given (rd-kernel flow).
     """
     v, cin = x.shape
     v_out, cout = g.shape
-    k = rule.shape[0]
-    assert k == 27 and v_out % tile == 0 and v >= window
+    assert (rule is None or rule.shape[0] == 27) and v_out % tile == 0 \
+        and v >= window
     pack, c_unit = _pack_of(cin)
     window_rows = window // pack
 
@@ -417,14 +435,23 @@ def rule_conv_fast(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
       the host (model output ``spans_ok``) and re-dispatch the batch on a
       fallback program when any is False.  This keeps the hot program free
       of ~40 never-taken branch bodies (executable upload to the tunneled
-      device is the end-to-end bottleneck)."""
+      device is the end-to-end bottleneck).
+
+    ``rule=None`` (requires spans + fallback="zeros") is the rd-kernel flow:
+    the (27, V) rule is never materialized (ops/pallas_rd.py)."""
     from .sparse import subm_conv
 
     v = feats.shape[0]
-    v_out = rule.shape[1]
-    if rule.shape[0] != 27 or v_out % tile != 0 or v < window:
-        return subm_conv(feats, weight, rule, live_mask,
-                         center_identity=center_identity)
+    if rule is None:
+        assert spans is not None and fallback == "zeros", (
+            "rule=None needs precomputed spans and the zeros fallback")
+        v_out = spans.rd.shape[1]
+        assert v_out % tile == 0 and v >= window
+    else:
+        v_out = rule.shape[1]
+        if rule.shape[0] != 27 or v_out % tile != 0 or v < window:
+            return subm_conv(feats, weight, rule, live_mask,
+                             center_identity=center_identity)
 
     if spans is None:
         spans = rule_spans(rule, tile, window, v)
@@ -512,12 +539,13 @@ def _rule_conv_ad_bwd(mirror, center_identity, tile_window, fallback, res, g):
     dx = dx.astype(feats.dtype)
 
     v = feats.shape[0]
-    v_out = rule.shape[1]
-    if rule.shape[0] == 27 and v_out % tile == 0 and v >= window:
+    v_out = rule.shape[1] if rule is not None else spans.rd.shape[1]
+    if (rule is None or rule.shape[0] == 27) and v_out % tile == 0 \
+            and v >= window:
         sp = spans if spans is not None else rule_spans(rule, tile, window, v)
-        if fallback == "zeros":
+        if fallback == "zeros" or rule is None:
             slow = lambda a: jnp.zeros(
-                (rule.shape[0], a[0].shape[1], a[1].shape[1]), jnp.float32)
+                (27, a[0].shape[1], a[1].shape[1]), jnp.float32)
         else:
             slow = lambda a: rule_conv_dw_xla(a[0], a[1], rule, live_out)
         dw = jax.lax.cond(
