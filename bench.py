@@ -204,6 +204,19 @@ def main():
                               else 0),
         }
 
+    # compiled-kernel smoke: every Pallas kernel family vs its exact oracle
+    # ON DEVICE (the CPU tests run interpret mode; this records evidence for
+    # the Mosaic lowerings).  TL_TPU_SMOKE=0 skips.
+    smoke = {}
+    if os.environ.get("TL_TPU_SMOKE", "1") != "0":
+        from treelearn_tpu.utils.smoke import run_tpu_smoke
+
+        t0 = time.time()
+        smoke = run_tpu_smoke()
+        log(f"tpu kernel smoke: {smoke['passed']} passed "
+            f"{smoke['failed']} failed {smoke['checks']} "
+            f"({time.time()-t0:.1f}s)")
+
     mpts = n_points / elapsed / 1e6
     print(json.dumps({
         "metric": "synthetic forest end-to-end segmentation (steady state)",
@@ -218,6 +231,7 @@ def main():
         "stage_seconds": stage_seconds,
         **quality,
         **model_line,
+        **({"tpu_smoke": smoke} if smoke else {}),
         "device": str(jax.devices()[0]),
     }))
 

@@ -162,6 +162,14 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
 
     fallback_cache: Dict[tuple, callable] = {}
 
+    import os as _os
+    _prof = _os.environ.get("TL_INFER_PROFILE")
+    _tlog = ((lambda m: print(f"[infer] {m}", file=__import__('sys').stderr,
+                              flush=True))
+             if _prof else (lambda m: None))
+    _t0 = time.time()
+
+
     def _rerun_with_fallback(batch, inner_cap):
         """A rulebook overflowed its banded windows under the slim program
         (statistically never on sorted voxel data): re-run this batch on the
@@ -180,12 +188,14 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         return fallback_cache[key](params, state, jbatch)
 
     def harvest(output, batch, inner_cap):
+        _th = time.time()
         try:
             check_capacity(output, voxel_capacity, model.num_blocks,
                            context="inference batch: ")
         except SpansOverflow:
             output = _rerun_with_fallback(batch, inner_cap)
         counts = np.asarray(output["n_voxels_per_level"])
+        _tlog(f"  first sync (compute+counts) {time.time()-_th:.2f}s")
         prev = tm.get("n_vox_levels")
         tm["n_vox_levels"] = (counts if prev is None
                               else np.maximum(prev, counts))
@@ -194,6 +204,7 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
             prev = tm.get("rule_nnz")
             tm["rule_nnz"] = nnz if prev is None else np.maximum(prev, nnz)
         n_keep = int(np.asarray(output["n_keep"]))
+        _tlog(f"  scalars done {time.time()-_th:.2f}s")
         if n_keep > inner_cap:  # unreachable: cap sized from the same masks
             raise RuntimeError(
                 f"inner compaction overflow: {n_keep} > {inner_cap}")
@@ -210,8 +221,10 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         outs["semantic_prediction_logits"].append(
             np.asarray(output["semantic_prediction_logits"],
                        np.float32)[got])
+        _tlog(f"  logits fetched {time.time()-_th:.2f}s")
         outs["offset_predictions"].append(
             np.asarray(output["offset_predictions"], np.float32)[got])
+        _tlog(f"  offsets fetched {time.time()-_th:.2f}s")
         if need_backbone:
             outs["backbone_feats"].append(
                 np.asarray(output["backbone_feats"], np.float32)[got])
@@ -222,6 +235,7 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         outs["coords"].append(coords)
         outs["instance_labels"].append(np.asarray(batch["instance_labels"])[sel])
         outs["input_feats"].append(np.asarray(batch["input_feats"])[sel])
+        _tlog(f"harvest took {time.time()-_th:.2f}s")
 
     if mesh is not None:
         from ..parallel.mesh import make_dp_inference_step
@@ -272,6 +286,7 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
     pending = None  # (output_device, host_batch, inner_cap)
     last_dispatch = None  # (eval_step, jbatch) for the pure-step timing
     for jbatch, batch in _prefetch(dataloader):
+        _tlog(f"batch arrived +{time.time()-_t0:.2f}s")
         n = batch["coords"].shape[0]
         inner_cap = _inner_cap_bucket(_inner_count(batch), n)
         key = (model.config_key(), voxel_capacity, str(compute_dtype),
@@ -301,6 +316,7 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
             step_cache[key] = step
         eval_step = step_cache[key]
 
+        _tlog(f"step ready +{time.time()-_t0:.2f}s")
         t0 = time.time()
         output = eval_step(params, state, jbatch)  # async dispatch
         tm["steps"] += 1
@@ -310,10 +326,12 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         pending = (output, batch, inner_cap)
         last_dispatch = (eval_step, jbatch)
         tm["device_s"] += time.time() - t0  # dispatch + overlapped harvest
+        _tlog(f"dispatched +{time.time()-_t0:.2f}s")
     if pending is not None:
         t0 = time.time()
         harvest(*pending)
         tm["device_s"] += time.time() - t0
+        _tlog(f"final harvest done +{time.time()-_t0:.2f}s")
     if timings is not None and last_dispatch is not None:
         # pure device step time (no host transfer) for the MFU report:
         # device_s above includes D2H, which on a tunneled chip can dwarf
