@@ -29,7 +29,8 @@ from treelearn_tpu.ops.sparse import (build_dense_table, build_subm_rulebook,
                                       grid_from_sorted_keys)
 from treelearn_tpu.ops.pallas_conv import rule_spans, _pack_feats, _band_weight
 
-TILE, WINDOW = 128, 512
+TILE = int(os.environ.get('ABL_TILE', 256))
+WINDOW = int(os.environ.get('ABL_WINDOW', 1024))
 _ALIGN = 64
 
 
@@ -192,6 +193,16 @@ def main():
     rtt = min(ts)
     print(f"RTT {rtt*1e3:.1f}ms")
 
+    from treelearn_tpu.ops.pallas_conv import subm_conv_banded
+    fullsets = [jnp.asarray(rng.normal(size=(1 << 19, 32)).astype(np.float32), jnp.bfloat16) for _ in range(3)]
+    fn = jax.jit(lambda f_, sp: jnp.sum(subm_conv_banded(f_, w, rule, g0.live_mask, tile=TILE, window=WINDOW, spans=sp)).astype(jnp.float32))
+    spans2 = jax.jit(lambda r: rule_spans(r, TILE, WINDOW, 1 << 19))(rule)
+    float(fn(fullsets[0], spans2))
+    best = 1e9
+    import time as _t
+    for i in range(4):
+        t0 = _t.perf_counter(); float(fn(fullsets[i % 3], spans2)); best = min(best, _t.perf_counter() - t0)
+    print(f"prod widesel {max(best-rtt,0)*1e3:7.1f} ms")
     for variant in ("full", "nosel", "noonehot", "dmaonly", "noloop"):
         float(run_variant(spans.lo, n_live, spans.rd, fsets[0], w_band, variant))
         best = 1e9

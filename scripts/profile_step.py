@@ -160,6 +160,27 @@ def main():
     t_plans, _ = timeit(vox_plans, *variants)
     print(f"voxelize + plans:     {t_plans*1e3:8.1f} ms   (plans ~ {(t_plans-t_vox)*1e3:.1f} ms)")
 
+    @jax.jit
+    def vox_plans_rdfree(c, f, b, v):
+        vb = voxelize_points(c, f, b, v, batch_size=1, voxel_size=0.1,
+                             capacity=capacity, max_pts=3,
+                             spatial_shape=np.asarray(spatial_shape, np.int32),
+                             use_coords=False, use_feats=False)
+        grid0 = grid_from_sorted_keys(vb.voxel_keys, vb.spatial_shape, vb.n_voxels)
+        plans = build_level_plans(grid0, model.num_blocks, 3, caps,
+                                  static_spatial_shape=spatial_shape,
+                                  batch_size=1, rule_free=True)
+        leaves = []
+        for p in plans:
+            leaves.append(p.grid.n_active)
+            if p.subm_spans is not None:
+                leaves.append(jnp.sum(p.subm_spans.rd))
+                leaves.append(p.subm_spans.ok)
+        return tuple(leaves)
+
+    t_rdp, _ = timeit(vox_plans_rdfree, *variants)
+    print(f"voxelize + rd plans:  {t_rdp*1e3:8.1f} ms   (rd plans ~ {(t_rdp-t_vox)*1e3:.1f} ms)")
+
     fullsets = [(params, state) + v for v in variants]
     t_full, out = timeit(lambda p_, s_, *a: fwd(p_, s_, *a)[0]["semantic_prediction_logits"],
                          *fullsets)

@@ -38,19 +38,21 @@ from ..ops.sparse import (
 )
 
 
-def _subm(x, weight, rule, live, fast, spans=None):
+def _subm(x, weight, rule, live, fast, spans=None, tile_window=None):
     """Submanifold conv dispatch: differentiable Pallas banded kernel
     (ops/pallas_conv.py) when ``fast`` is truthy, XLA gather path otherwise.
     ``fast="zeros"`` uses the zeros+host-retry out-of-window fallback (see
     rule_conv_fast) instead of embedding the XLA branch.  A submanifold rule
     is its own transpose under kernel-offset mirroring.  ``spans`` is the
-    level-shared (lo, ok) precompute (ops/pallas_conv.py:rule_spans)."""
+    level-shared (lo, ok) precompute; ``tile_window`` the level's (tile,
+    window) choice (kernel selection-GEMM cost scales with window/pack, so
+    wide-channel levels shrink both — build_level_plans.level_tile_window)."""
     if fast:
         from ..ops.pallas_conv import rule_conv_ad
 
         fb = "zeros" if fast == "zeros" else "xla"
         return rule_conv_ad(x, weight, rule, rule, live, live,
-                            spans, spans, True, True, None, fb)
+                            spans, spans, True, True, tile_window, fb)
     return subm_conv(x, weight.astype(x.dtype), rule, live)
 
 
@@ -223,15 +225,15 @@ def init_residual_block(key, c_in: int, c_out: int, kernel_size: int):
 
 def apply_residual_block(params, state, x, rule, live, *, training: bool,
                          frozen: bool = False, fast: bool = False,
-                         spans=None):
+                         spans=None, tile_window=None):
     """Pre-activation residual block (blocks.py:42-79)."""
     cb, cs = params["conv_branch"], state["conv_branch"]
     y, s0 = apply_bn(cb["0"], cs["0"], x, live, training=training, frozen=frozen)
     y = jax.nn.relu(y)
-    y = _subm(y, cb["2"]["weight"], rule, live, fast, spans)
+    y = _subm(y, cb["2"]["weight"], rule, live, fast, spans, tile_window)
     y, s3 = apply_bn(cb["3"], cs["3"], y, live, training=training, frozen=frozen)
     y = jax.nn.relu(y)
-    y = _subm(y, cb["5"]["weight"], rule, live, fast, spans)
+    y = _subm(y, cb["5"]["weight"], rule, live, fast, spans, tile_window)
 
     if "i_branch" in params:
         shortcut = x @ params["i_branch"]["0"]["weight"].T.astype(x.dtype)
@@ -244,7 +246,7 @@ def apply_residual_block(params, state, x, rule, live, *, training: bool,
 
 def apply_block_chain(blocks_p, blocks_s, block_names, x, rule, live, *,
                       training: bool, frozen: bool = False, fast: bool = False,
-                      spans=None):
+                      spans=None, tile_window=None):
     """A chain of IDENTITY residual blocks (c->c, no i_branch) as one
     lax.scan over the 2*len(block_names) (BN, ReLU, conv) steps.
 
@@ -279,7 +281,7 @@ def apply_block_chain(blocks_p, blocks_s, block_names, x, rule, live, *,
                              {"running_mean": sm, "running_var": sv},
                              x, live, training=training, frozen=frozen)
         y = jax.nn.relu(y)
-        y = _subm(y, wk, rule, live, fast, spans)
+        y = _subm(y, wk, rule, live, fast, spans, tile_window)
         is_end = end > 0.5
         out = jnp.where(is_end, y + skip, y)
         out = jnp.where(live[:, None], out, 0.0)
@@ -318,6 +320,20 @@ class LevelPlan(NamedTuple):
     subm_spans: Optional[tuple] = None
     down_spans: Optional[tuple] = None
     inv_spans: Optional[tuple] = None
+    tile_window: Optional[tuple] = None     # level's (tile, window) in voxels
+
+
+def level_tile_window(channels: int):
+    """Per-level (tile, window) in voxels: the banded kernel's selection
+    GEMMs cost ~window_rows = window/pack per output voxel, so wide-channel
+    levels (smaller pack) shrink the window, keeping the window/tile
+    coverage ratio (4) that bounds overflows.  Tile floors at 128: Mosaic
+    requires 128-divisible lane blocks for the (9, tile) rd tiles."""
+    from ..ops.pallas_conv import _pack_of
+
+    pack, _ = _pack_of(channels)
+    window = max(256 * pack, 512)
+    return max(window // 4, 128), window
 
 
 def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
@@ -340,9 +356,9 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
     level, O(1) probes; otherwise binary search over sorted keys.
     """
     from ..ops.sparse import build_dense_table
-    from ..ops.pallas_conv import DEFAULT_TILE, DEFAULT_WINDOW, rule_spans
+    from ..ops.pallas_conv import rule_spans
 
-    def spans_for(rule, v_in, tile=DEFAULT_TILE, window=DEFAULT_WINDOW):
+    def spans_for(rule, v_in, tile, window):
         if rule.shape[1] % tile != 0 or v_in < window:
             return None  # rule_conv_fast uses the XLA path for these shapes
         return rule_spans(rule, tile, window, v_in)
@@ -352,22 +368,22 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
     shape = tuple(static_spatial_shape) if static_spatial_shape is not None else None
     for lvl in range(num_levels):
         cap = int(g.capacity)
-        banded_ok = (cap % DEFAULT_TILE == 0 and cap >= DEFAULT_WINDOW
-                     and cap % 128 == 0)
+        tile, window = level_tile_window(32 * (lvl + 1))
+        banded_ok = (cap % tile == 0 and cap >= window and cap % 128 == 0)
         if rule_free and shape is not None and kernel_size == 3 and banded_ok:
             from ..ops.pallas_rd import build_spans_banded
 
             rule = None
             spans = build_spans_banded(
                 g.keys, spatial_shape=shape, capacity=cap,
-                tile=DEFAULT_TILE, window=DEFAULT_WINDOW)
+                tile=tile, window=window)
         else:
             table = None
             if shape is not None:
                 table_size = batch_size * shape[0] * shape[1] * shape[2]
                 table = build_dense_table(g, table_size)
             rule = build_subm_rulebook(g, kernel_size, dense_table=table)
-            spans = spans_for(rule, cap)
+            spans = spans_for(rule, cap, tile, window)
         if lvl < num_levels - 1:
             out_table = None
             if shape is not None:
@@ -377,14 +393,16 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
                                   out_table_size=out_table)
             plans.append(LevelPlan(
                 grid=g, subm_rule=rule, down=rb,
-                down_rule=None, inv_rule=None, subm_spans=spans))
+                down_rule=None, inv_rule=None, subm_spans=spans,
+                tile_window=(tile, window)))
             g = rb.out_grid
             if shape is not None:
                 shape = tuple(s // 2 for s in shape)
         else:
             plans.append(LevelPlan(grid=g, subm_rule=rule, down=None,
                                    down_rule=None, inv_rule=None,
-                                   subm_spans=spans))
+                                   subm_spans=spans,
+                                   tile_window=(tile, window)))
     return tuple(plans)
 
 
@@ -436,7 +454,7 @@ def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
         params["blocks"], state["blocks"],
         [f"block{i}" for i in range(block_reps)],
         x, plan.subm_rule, live, training=training, frozen=frozen, fast=fast,
-        spans=plan.subm_spans)
+        spans=plan.subm_spans, tile_window=plan.tile_window)
     new_state["blocks"] = s
 
     if "u" in params:
@@ -466,13 +484,14 @@ def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
         x, s = apply_residual_block(
             params["blocks_tail"]["block0"], state["blocks_tail"]["block0"],
             x, plan.subm_rule, live, training=training, frozen=frozen,
-            fast=fast, spans=plan.subm_spans)
+            fast=fast, spans=plan.subm_spans, tile_window=plan.tile_window)
         new_state["blocks_tail"]["block0"] = s
         if block_reps > 1:
             x, s = apply_block_chain(
                 params["blocks_tail"], state["blocks_tail"],
                 [f"block{i}" for i in range(1, block_reps)],
                 x, plan.subm_rule, live, training=training, frozen=frozen,
-                fast=fast, spans=plan.subm_spans)
+                fast=fast, spans=plan.subm_spans,
+                tile_window=plan.tile_window)
             new_state["blocks_tail"].update(s)
     return x, new_state

@@ -270,7 +270,8 @@ class TreeLearn:
         from .blocks import _subm
         x = _subm(x, params["input_conv"]["0"]["weight"],
                   plans[0].subm_rule, grid0.live_mask, fast_conv,
-                  spans=plans[0].subm_spans)
+                  spans=plans[0].subm_spans,
+                  tile_window=plans[0].tile_window)
 
         x, s = apply_ublock(params["unet"], state["unet"], x, plans, 0,
                             block_reps=self.block_reps, training=training,

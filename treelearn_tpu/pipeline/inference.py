@@ -189,6 +189,12 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
 
     def harvest(output, batch, inner_cap):
         _th = time.time()
+        if "preds_f16" in output:
+            # packed eval-step outputs: exactly two device fetches
+            from ..train.loop import _unpack_eval_outputs
+
+            output = _unpack_eval_outputs(output, model.num_blocks,
+                                          need_backbone, model.channels)
         try:
             check_capacity(output, voxel_capacity, model.num_blocks,
                            context="inference batch: ")
