@@ -98,6 +98,37 @@ def make_kernel(variant, window_rows, tile, pack, c_unit, cout):
                                ).astype(jnp.bfloat16)
                 m = jax.lax.bitwise_and(r0, pack - 1)
 
+                if variant == "treesel":
+                    # phm = m + dd_dz - dz per lane group; +2 biases into
+                    # [0, 7]; candidates are CONTIGUOUS 96-lane views of the
+                    # zero-padded [Z Z g_lo g_hi Z Z] concat, selected by a
+                    # 3-bit binary tree (7 wheres) instead of 6-8 masked adds
+                    phs = []
+                    for dz in range(3):
+                        dd = jax.lax.bitwise_and(
+                            jax.lax.shift_right_logical(rd, 2 * dz), 3) - 1
+                        phs.append((jnp.where(has & (dd >= 0), m + dd - dz, -3)
+                                    + 2))
+                    lane3 = jax.lax.broadcasted_iota(
+                        jnp.int32, (tile, 3 * c_unit), 1) // c_unit
+                    phm = jnp.where(
+                        lane3 == 0, phs[0][:, None],
+                        jnp.where(lane3 == 1, phs[1][:, None], phs[2][:, None]))
+                    zpad = jnp.zeros((tile, 2 * c_unit), jnp.bfloat16)
+                    g_pad = jnp.concatenate([zpad, g_lo, g_hi, zpad], axis=1)
+                    V = [g_pad[:, c_unit * k: c_unit * (k + 3)]
+                         for k in range(8)]
+                    b0 = jax.lax.bitwise_and(phm, 1) > 0
+                    b1 = jax.lax.bitwise_and(phm, 2) > 0
+                    b2 = jax.lax.bitwise_and(phm, 4) > 0
+                    u = [jnp.where(b0, V[2 * j + 1], V[2 * j]) for j in range(4)]
+                    v = [jnp.where(b1, u[2 * j + 1], u[2 * j]) for j in range(2)]
+                    w_sel = jnp.where(b2, v[1], v[0])
+                    sel_cat = jnp.where(phm >= 0, w_sel, 0)
+                    acc_ref[:] += jnp.dot(sel_cat, w_ref[b],
+                                          preferred_element_type=jnp.float32)
+                    return _
+
                 if variant == "widesel":
                     # ph per dz, broadcast to a (T, 3*c_unit) phase plane
                     phs = []
@@ -223,7 +254,7 @@ def main():
     print(f"RTT {rtt*1e3:.1f}ms")
 
     ref = None
-    for variant in ("full", "widesel"):
+    for variant in ("full", "widesel", "treesel"):
         fs = unpacked if variant == "slotgemm" else packed
         out = run_variant(spans.lo, n_live, spans.rd, fs[0], w_band, variant)
         out_np = np.asarray(out, np.float32)

@@ -116,10 +116,12 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
     # keep the label column: the reference re-saves coords AND labels
     # (pipeline.py:46-50); labels ride through voxelization (first-point-per-
     # voxel) into the pointwise dump, where the evaluation joins on them
-    np.savez(centered_path, points=(xyz - xyz_mean).astype(np.float32),
+    centered_pts = (xyz - xyz_mean).astype(np.float32)
+    np.savez(centered_path, points=centered_pts,
              labels=(data[:, 3] if data.shape[1] > 3
                      else np.full(len(data), -1.0)))
     config.forest_path = centered_path
+    del data, xyz
     _stage("load_center")
 
     # tiles: streaming mode (default) slices tiles in memory from the sorted
@@ -331,11 +333,15 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
     return_type = config.save_cfg.return_type
     if return_type == "original":
         logger.info(f"{plot_name}: propagating predictions to original points")
-        coords_to_return = load_data(config.forest_path)[:, :3]
+        # the centered original cloud and voxelized points are already in
+        # memory (streaming path) — reloading their npz files cost 1-6 s of
+        # host time per plot
+        coords_to_return = centered_pts
         trace = np.load(osp.join(voxelized_dir, f"{plot_name}_centered_trace.npz"))
-        vox_data = load_data(osp.join(voxelized_dir, f"{plot_name}_centered.npz"))
+        vox_xyz = (vox_pts.astype(np.float32) if streaming else load_data(
+            osp.join(voxelized_dir, f"{plot_name}_centered.npz"))[:, :3])
         vox_preds, not_found_vox = propagate_by_key(coords, instance_preds,
-                                                    vox_data[:, :3])
+                                                    vox_xyz)
         preds_to_return = vox_preds[trace["inverse"]]
         not_yet_propagated = not_found_vox[trace["inverse"]]
     elif return_type == "voxelized":
