@@ -117,3 +117,39 @@ def test_get_pointwise_preds_compacted_pipeline(setup):
         coords[:n_keep],
         np.asarray(batch["coords"])[inner & valid] + 2.0, rtol=1e-6)
     assert tm["steps"] == 2
+
+
+def test_packed_output_unpack_roundtrip():
+    """The packed (preds_f16, meta_i32) wire format must unpack to the
+    historical output dict exactly."""
+    import jax.numpy as jnp
+
+    from treelearn_tpu.train.loop import _unpack_eval_outputs
+
+    rng = np.random.default_rng(0)
+    n_levels, channels, cap = 3, 4, 64
+    logits = rng.normal(size=(cap, 2)).astype(np.float16)
+    offs = rng.normal(size=(cap, 3)).astype(np.float16)
+    bb = rng.normal(size=(cap, channels)).astype(np.float16)
+    meta = np.concatenate([[7], [9], [10, 5, 3], [100, 50, 25], [1, 0, 1]])
+    out = {"preds_f16": jnp.asarray(np.concatenate([logits, offs, bb], 1)),
+           "meta_i32": jnp.asarray(meta.astype(np.int32))}
+    r = _unpack_eval_outputs(out, n_levels, True, channels)
+    assert int(r["n_keep"]) == 7 and int(r["n_voxels"]) == 9
+    np.testing.assert_array_equal(r["n_voxels_per_level"], [10, 5, 3])
+    np.testing.assert_array_equal(r["rule_nnz_per_level"], [100, 50, 25])
+    np.testing.assert_array_equal(r["spans_ok"], [True, False, True])
+    np.testing.assert_array_equal(r["semantic_prediction_logits"], logits)
+    np.testing.assert_array_equal(r["offset_predictions"], offs)
+    np.testing.assert_array_equal(r["backbone_feats"], bb)
+
+
+def test_level_tile_window_constraints():
+    from treelearn_tpu.model.blocks import level_tile_window
+
+    for c in (4, 32, 64, 96, 128, 192, 224, 448):
+        tile, window = level_tile_window(c)
+        assert tile >= 128 and tile % 128 == 0
+        assert window % 128 == 0 and window // tile >= 4 or tile == 128
+        # coverage ratio never drops below 4 (overflow margin)
+        assert window / tile >= 4
