@@ -323,17 +323,21 @@ class LevelPlan(NamedTuple):
     tile_window: Optional[tuple] = None     # level's (tile, window) in voxels
 
 
-def level_tile_window(channels: int):
+def level_tile_window(channels: int, capacity: int = 1 << 19):
     """Per-level (tile, window) in voxels: the banded kernel's selection
     GEMMs cost ~window_rows = window/pack per output voxel, so wide-channel
     levels (smaller pack) shrink the window, keeping the window/tile
-    coverage ratio (4) that bounds overflows.  Tile floors at 128: Mosaic
-    requires 128-divisible lane blocks for the (9, tile) rd tiles."""
+    coverage ratio (4) that bounds overflows.  Tile floors at 128 (Mosaic
+    requires 128-divisible lane blocks for the (9, tile) rd tiles) and
+    grows with capacity so the scalar-prefetched (9, capacity/tile)
+    window-start table stays within TPU SMEM (16384 tiles measured 1.1 KB
+    over the 1 MB budget; 8192 fits)."""
     from ..ops.pallas_conv import _pack_of
 
     pack, _ = _pack_of(channels)
     window = max(256 * pack, 512)
-    return max(window // 4, 128), window
+    tile = max(window // 4, 128, int(capacity) // 8192)
+    return tile, 4 * tile
 
 
 def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
@@ -368,7 +372,7 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
     shape = tuple(static_spatial_shape) if static_spatial_shape is not None else None
     for lvl in range(num_levels):
         cap = int(g.capacity)
-        tile, window = level_tile_window(32 * (lvl + 1))
+        tile, window = level_tile_window(32 * (lvl + 1), cap)
         banded_ok = (cap % tile == 0 and cap >= window and cap % 128 == 0)
         if rule_free and shape is not None and kernel_size == 3 and banded_ok:
             from ..ops.pallas_rd import build_spans_banded

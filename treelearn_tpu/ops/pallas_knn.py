@@ -327,7 +327,23 @@ def banded_knn_classify(ref_pts: np.ndarray, ref_labels: np.ndarray,
 
     if need.any():
         idx = np.where(need)[0]
-        nn = brute_knn(ref_pts, query_pts[idx], k=k)
+        nn = None
+        if len(idx) * max(nr, 1) > float(os.environ.get(
+                "TL_KNN_KDTREE_MIN_PAIRS", 2e10)):
+            # huge clumped backstops (offset-shifted canopies at plot scale):
+            # the device brute pass measured 146 s for 1.46M x 1.1M where a
+            # host KD-tree answers exactly in ~9 s — the same structure the
+            # reference's KNeighborsClassifier uses (util/pipeline.py:292)
+            try:
+                from scipy.spatial import cKDTree
+
+                _, nn = cKDTree(ref_pts).query(query_pts[idx], k=k,
+                                               workers=-1)
+                nn = nn.reshape(len(idx), k)
+            except ImportError:  # pragma: no cover - scipy ships in-image
+                nn = None
+        if nn is None:
+            nn = brute_knn(ref_pts, query_pts[idx], k=k)
         votes = np.sort(enc[nn], axis=1)
         counts = (votes[:, :, None] == votes[:, None, :]).sum(axis=2)
         result[idx] = np.take_along_axis(
