@@ -278,6 +278,12 @@ def banded_knn_classify(ref_pts: np.ndarray, ref_labels: np.ndarray,
     result = np.full(nq, -1, np.int64)
     need = np.ones(nq, bool)
     use_banded = nr >= k
+    if use_banded and nq * max(nr, 1) > float(os.environ.get(
+            "TL_KNN_KDTREE_MIN_PAIRS", 2e10)):
+        # plot-scale problems go straight to the exact host KD-tree backstop
+        # below: at 1.46M x 1.1M it answers in ~9 s, cheaper than even ONE
+        # banded round (each round sorts the refs and streams every window)
+        use_banded = False
     if use_banded and nr and int(enc.max()) >= (1 << 24):
         # labels ride through the kernel as float32 (ref_mat row 6) and pack
         # into int32 under a bit-30 done flag: encoded ids >= 2^24 lose float
