@@ -39,6 +39,8 @@ _MODEL_INPUT_KEYS = ("coords", "input_feats", "batch_ids", "valid",
 # process (multi-plot serving, the two-pass bench) reuse the uploaded
 # executable instead of re-paying the tunnel upload (6-490 s observed)
 _PROCESS_STEP_CACHE: Dict[tuple, callable] = {}
+# (host params id, host state id, device) -> host refs + device copies
+_PARAMS_DEVICE_CACHE: Dict[tuple, tuple] = {}
 
 
 def _pow2(x: int) -> int:
@@ -144,8 +146,21 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         state = jax.device_put(state, rep)
     else:
         dev = jax.devices()[0]
-        params = jax.device_put(params, dev)
-        state = jax.device_put(state, dev)
+        # device-copy cache: multi-plot serving (and the bench's steady
+        # passes) re-enters with the SAME host params every time — re-staging
+        # ~11 MB of weights through the tunnel costs ~0.3 s per plot.  Keyed
+        # on object identity with the host tree kept referenced so ids stay
+        # valid.
+        key = (id(params), id(state), repr(dev))
+        hit = _PARAMS_DEVICE_CACHE.get(key)
+        if hit is not None and hit[0] is params and hit[1] is state:
+            params, state = hit[2], hit[3]
+        else:
+            dparams = jax.device_put(params, dev)
+            dstate = jax.device_put(state, dev)
+            _PARAMS_DEVICE_CACHE.clear()  # one live entry: bound memory
+            _PARAMS_DEVICE_CACHE[key] = (params, state, dparams, dstate)
+            params, state = dparams, dstate
 
     step_cache = _PROCESS_STEP_CACHE
     outs = {k: [] for k in ("semantic_prediction_logits", "semantic_labels",

@@ -40,6 +40,11 @@ NON_TREES_LABEL_IN_GROUPING = 0
 NOT_ASSIGNED_LABEL_IN_GROUPING = -1
 START_NUM_PREDS = 1
 
+# (pretrain path, model config) -> loaded (params, state): multi-plot serving
+# re-enters the pipeline with the same checkpoint; loading it (and re-staging
+# its device copy, pipeline/inference.py) costs ~0.5 s per plot otherwise
+_CHECKPOINT_CACHE: dict = {}
+
 
 def save_treewise(coords, instance_preds, cluster_means_within_hull,
                   insts_not_at_edge, save_format, plot_results_dir,
@@ -135,7 +140,7 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
         # default) don't need whole-plot verticality up front — the grouping
         # stage computes it lazily over its candidate points only
         defer_features = not bool(config.model.get("use_feats", False))
-        vox_path, feat_path = prepare_voxelized_features(
+        vox_path, feat_path, vox_arrays = prepare_voxelized_features(
             config.sample_generation, config.forest_path, logger,
             config.save_cfg.return_type, skip_features=defer_features)
         _stage("voxelize_features")
@@ -151,19 +156,32 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
 
     model = TreeLearn(**config.model)
     if params is None:
-        params, state = model.init(0)  # int seed: no device round trip
-        if config.get("pretrain"):
-            params, state, _ = load_checkpoint(config.pretrain, params, state, logger)
+        ck_key = (config.get("pretrain"), model.config_key())
+        cached = _CHECKPOINT_CACHE.get(ck_key)
+        if cached is not None:
+            params, state = cached
+        else:
+            params, state = model.init(0)  # int seed: no device round trip
+            if config.get("pretrain"):
+                params, state, _ = load_checkpoint(config.pretrain, params,
+                                                   state, logger)
+            _CHECKPOINT_CACHE.clear()  # one live entry: bound memory
+            _CHECKPOINT_CACHE[ck_key] = (params, state)
     if streaming:
         from .streaming import TileStream
 
-        vox = np.load(vox_path)
-        vox_pts = vox["points"].astype(np.float64)
+        if vox_arrays is not None:
+            vox_pts = vox_arrays[0].astype(np.float64)
+            vox_labels = vox_arrays[1]
+        else:
+            vox = np.load(vox_path)
+            vox_pts = vox["points"].astype(np.float64)
+            vox_labels = vox["labels"]
         feats_arr = (np.zeros((len(vox_pts), 1), np.float32)
                      if feat_path is None
                      else np.load(feat_path)["features"])
         stream = TileStream(
-            vox_pts, vox["labels"],
+            vox_pts, vox_labels,
             feats_arr, config.sample_generation.inner_edge,
             config.sample_generation.outer_edge, config.sample_generation.stride)
         # Whole-plot single-pass inference (TPU-native; see TileStream

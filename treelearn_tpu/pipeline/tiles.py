@@ -312,6 +312,7 @@ def prepare_voxelized_features(cfg, forest_path: str, logger,
     logger.info("voxelizing forest...")
     save_path_vox = osp.join(voxelized_dir, f"{plot_name}.npz")
     save_path_trace = osp.join(voxelized_dir, f"{plot_name}_trace.npz")
+    vox_arrays = None
     if (not osp.exists(save_path_vox)) or (
             return_type == "original" and not osp.exists(save_path_trace)):
         data = load_data(forest_path)
@@ -322,9 +323,12 @@ def prepare_voxelized_features(cfg, forest_path: str, logger,
         np.savez(save_path_vox, points=down, labels=labels)
         if return_type == "original":
             np.savez(save_path_trace, inverse=inverse.astype(np.int64))
+        # hand the arrays back in memory: the streaming pipeline otherwise
+        # reloads the npz it just wrote (~1 s per 437k voxels on this host)
+        vox_arrays = (down, labels)
 
     if skip_features:
-        return save_path_vox, None
+        return save_path_vox, None, vox_arrays
     logger.info("calculating features...")
     save_path_features = osp.join(features_dir, f"{plot_name}.npz")
     if not osp.exists(save_path_features):
@@ -335,7 +339,7 @@ def prepare_voxelized_features(cfg, forest_path: str, logger,
         features = fn(data[:, :3].astype(np.float32),
                       search_radius=cfg.search_radius_features)
         np.savez(save_path_features, features=features)
-    return save_path_vox, save_path_features
+    return save_path_vox, save_path_features, vox_arrays
 
 
 def generate_tiles(cfg, forest_path: str, logger, return_type: str = "voxelized",
@@ -347,7 +351,7 @@ def generate_tiles(cfg, forest_path: str, logger, return_type: str = "voxelized"
     save_dir = osp.join(base_dir, "tiles")
     os.makedirs(save_dir, exist_ok=True)
 
-    save_path_vox, save_path_features = prepare_voxelized_features(
+    save_path_vox, save_path_features, _ = prepare_voxelized_features(
         cfg, forest_path, logger, return_type, features_fn)
 
     logger.info("getting tiles...")
