@@ -247,3 +247,33 @@ def test_rule_free_zeros_program_matches_xla(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out_ref["offset_predictions"]),
         np.asarray(out_z["offset_predictions"]), atol=1e-4)
+
+
+def test_rule_free_xla_fallback_program_matches(monkeypatch):
+    """fast_conv=True with rule-free plans must match the pure-XLA program:
+    the exact-XLA fallback branch builds its rule lazily via rule_thunk
+    inside the cond (its correctness when taken is covered by the
+    rule_conv_ad gradient-parity check in test_rule_conv_forms)."""
+    import treelearn_tpu.ops.pallas_conv as pconv
+    import treelearn_tpu.ops.pallas_rd as prd
+
+    monkeypatch.setattr(pconv, "_INTERPRET", True)
+    monkeypatch.setattr(prd, "_INTERPRET", True)
+
+    model = TreeLearn(channels=4, num_blocks=2, kernel_size=3, dim_coord=3,
+                      dim_feat=1, use_coords=False, use_feats=False,
+                      spatial_shape=[64, 64, 64], voxel_size=0.1)
+    params, state = model.init(3)
+    rng = np.random.default_rng(5)
+    n = 3000
+    args = (jnp.asarray(rng.uniform(0, 6.0, (n, 3)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(n, 1)).astype(np.float32)),
+            jnp.zeros(n, jnp.int32), jnp.ones(n, bool))
+    cap = 16384
+    out_ref, _ = model.apply(params, state, *args, batch_size=1,
+                             voxel_capacity=cap, fast_conv=False)
+    out_fast, _ = model.apply(params, state, *args, batch_size=1,
+                              voxel_capacity=cap, fast_conv=True)
+    np.testing.assert_allclose(
+        np.asarray(out_ref["semantic_prediction_logits"]),
+        np.asarray(out_fast["semantic_prediction_logits"]), atol=1e-4)

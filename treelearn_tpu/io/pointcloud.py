@@ -91,9 +91,10 @@ def save_data(data: np.ndarray, save_format: str, save_name: str, save_folder: s
 
         offsets = points.mean(0) if use_offset else (0.0, 0.0, 0.0)
 
-        unique_labels = np.unique(labels)
-        color_map = {label: generate_random_color() for label in unique_labels}
-        colors = np.array([color_map[label] for label in labels], dtype=np.uint16)
+        unique_labels, inv = np.unique(labels, return_inverse=True)
+        palette = np.array([generate_random_color() for _ in unique_labels],
+                           dtype=np.uint16).reshape(len(unique_labels), 3)
+        colors = palette[inv]
         colors[classification == 2] = [0, 0, 0]
 
         save_path = osp.join(save_folder, f"{save_name}.{save_format}")

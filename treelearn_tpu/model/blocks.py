@@ -38,21 +38,26 @@ from ..ops.sparse import (
 )
 
 
-def _subm(x, weight, rule, live, fast, spans=None, tile_window=None):
+def _subm(x, weight, rule, live, fast, spans=None, tile_window=None,
+          rule_thunk=None):
     """Submanifold conv dispatch: differentiable Pallas banded kernel
     (ops/pallas_conv.py) when ``fast`` is truthy, XLA gather path otherwise.
     ``fast="zeros"`` uses the zeros+host-retry out-of-window fallback (see
-    rule_conv_fast) instead of embedding the XLA branch.  A submanifold rule
-    is its own transpose under kernel-offset mirroring.  ``spans`` is the
-    level-shared (lo, ok) precompute; ``tile_window`` the level's (tile,
-    window) choice (kernel selection-GEMM cost scales with window/pack, so
-    wide-channel levels shrink both — build_level_plans.level_tile_window)."""
+    rule_conv_fast) instead of embedding the XLA branch; with ``fast=True``
+    and ``rule=None`` the fallback rule is built lazily INSIDE the cond
+    branch by ``rule_thunk`` (only overflowing batches pay the 27-probe
+    build).  A submanifold rule is its own transpose under kernel-offset
+    mirroring.  ``spans`` is the level-shared (lo, ok) precompute;
+    ``tile_window`` the level's (tile, window) choice."""
     if fast:
         from ..ops.pallas_conv import rule_conv_ad
 
         fb = "zeros" if fast == "zeros" else "xla"
         return rule_conv_ad(x, weight, rule, rule, live, live,
-                            spans, spans, True, True, tile_window, fb)
+                            spans, spans, True, True, tile_window, fb,
+                            rule_thunk)
+    if rule is None:
+        rule = rule_thunk()
     return subm_conv(x, weight.astype(x.dtype), rule, live)
 
 
@@ -225,15 +230,17 @@ def init_residual_block(key, c_in: int, c_out: int, kernel_size: int):
 
 def apply_residual_block(params, state, x, rule, live, *, training: bool,
                          frozen: bool = False, fast: bool = False,
-                         spans=None, tile_window=None):
+                         spans=None, tile_window=None, rule_thunk=None):
     """Pre-activation residual block (blocks.py:42-79)."""
     cb, cs = params["conv_branch"], state["conv_branch"]
     y, s0 = apply_bn(cb["0"], cs["0"], x, live, training=training, frozen=frozen)
     y = jax.nn.relu(y)
-    y = _subm(y, cb["2"]["weight"], rule, live, fast, spans, tile_window)
+    y = _subm(y, cb["2"]["weight"], rule, live, fast, spans, tile_window,
+              rule_thunk)
     y, s3 = apply_bn(cb["3"], cs["3"], y, live, training=training, frozen=frozen)
     y = jax.nn.relu(y)
-    y = _subm(y, cb["5"]["weight"], rule, live, fast, spans, tile_window)
+    y = _subm(y, cb["5"]["weight"], rule, live, fast, spans, tile_window,
+              rule_thunk)
 
     if "i_branch" in params:
         shortcut = x @ params["i_branch"]["0"]["weight"].T.astype(x.dtype)
@@ -246,7 +253,7 @@ def apply_residual_block(params, state, x, rule, live, *, training: bool,
 
 def apply_block_chain(blocks_p, blocks_s, block_names, x, rule, live, *,
                       training: bool, frozen: bool = False, fast: bool = False,
-                      spans=None, tile_window=None):
+                      spans=None, tile_window=None, rule_thunk=None):
     """A chain of IDENTITY residual blocks (c->c, no i_branch) as one
     lax.scan over the 2*len(block_names) (BN, ReLU, conv) steps.
 
@@ -281,7 +288,8 @@ def apply_block_chain(blocks_p, blocks_s, block_names, x, rule, live, *,
                              {"running_mean": sm, "running_var": sv},
                              x, live, training=training, frozen=frozen)
         y = jax.nn.relu(y)
-        y = _subm(y, wk, rule, live, fast, spans, tile_window)
+        y = _subm(y, wk, rule, live, fast, spans, tile_window,
+                  rule_thunk)
         is_end = end > 0.5
         out = jnp.where(is_end, y + skip, y)
         out = jnp.where(live[:, None], out, 0.0)
@@ -452,13 +460,18 @@ def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
     plan = plans[level]
     live = plan.grid.live_mask
     new_state = {}
+    # lazy fallback rule: only built if an overflow actually takes the
+    # lax.cond slow branch (plan.subm_rule is None on the rule-free path)
+    rule_thunk = (None if plan.subm_rule is not None
+                  else (lambda g=plan.grid: build_subm_rulebook(g, 3)))
 
     # head blocks are identity residual blocks (c -> c): one scanned chain
     x, s = apply_block_chain(
         params["blocks"], state["blocks"],
         [f"block{i}" for i in range(block_reps)],
         x, plan.subm_rule, live, training=training, frozen=frozen, fast=fast,
-        spans=plan.subm_spans, tile_window=plan.tile_window)
+        spans=plan.subm_spans, tile_window=plan.tile_window,
+        rule_thunk=rule_thunk)
     new_state["blocks"] = s
 
     if "u" in params:
@@ -488,7 +501,8 @@ def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
         x, s = apply_residual_block(
             params["blocks_tail"]["block0"], state["blocks_tail"]["block0"],
             x, plan.subm_rule, live, training=training, frozen=frozen,
-            fast=fast, spans=plan.subm_spans, tile_window=plan.tile_window)
+            fast=fast, spans=plan.subm_spans, tile_window=plan.tile_window,
+            rule_thunk=rule_thunk)
         new_state["blocks_tail"]["block0"] = s
         if block_reps > 1:
             x, s = apply_block_chain(
@@ -496,6 +510,6 @@ def apply_ublock(params, state, x, plans: Tuple[LevelPlan, ...], level: int,
                 [f"block{i}" for i in range(1, block_reps)],
                 x, plan.subm_rule, live, training=training, frozen=frozen,
                 fast=fast, spans=plan.subm_spans,
-                tile_window=plan.tile_window)
+                tile_window=plan.tile_window, rule_thunk=rule_thunk)
             new_state["blocks_tail"].update(s)
     return x, new_state

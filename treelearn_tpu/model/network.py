@@ -219,6 +219,7 @@ class TreeLearn:
         training: bool = False,
         compute_dtype=jnp.float32,
         fast_conv: Optional[bool] = None,
+        materialize_rules: Optional[bool] = None,
     ):
         """Full forward. Returns (output dict, new_state).
 
@@ -255,23 +256,34 @@ class TreeLearn:
 
         caps = default_capacities(voxel_capacity, self.num_blocks)
         grid0 = grid_from_sorted_keys(vb.voxel_keys, vb.spatial_shape, vb.n_voxels)
+        if materialize_rules is None:
+            # gradient programs must materialize rules: the lazy in-branch
+            # rule_thunk closes over tracers, which custom_vjp's backward
+            # trace cannot consume (leaked-tracer TypeError)
+            materialize_rules = training
         plans = build_level_plans(grid0, self.num_blocks, self.kernel_size, caps,
                                   static_spatial_shape=self.spatial_shape,
                                   batch_size=batch_size,
-                                  # the zeros program never takes an XLA
-                                  # fallback branch, so (27, V) rules are
-                                  # skipped entirely: spans come from the
-                                  # Pallas rd kernel (ops/pallas_rd.py)
-                                  rule_free=(fast_conv == "zeros"))
+                                  # fast no-grad programs skip the (27, V)
+                                  # rules: spans come from the Pallas rd
+                                  # kernel (ops/pallas_rd.py); the
+                                  # fast_conv=True program's XLA fallback
+                                  # builds its rule lazily inside the cond
+                                  # branch
+                                  rule_free=bool(fast_conv)
+                                  and not materialize_rules)
         x = vb.voxel_feats.astype(compute_dtype)
         new_state = {}
         frozen = lambda name: name in self.fixed_modules  # noqa: E731
 
         from .blocks import _subm
+        from ..ops.sparse import build_subm_rulebook as _bsr
         x = _subm(x, params["input_conv"]["0"]["weight"],
                   plans[0].subm_rule, grid0.live_mask, fast_conv,
                   spans=plans[0].subm_spans,
-                  tile_window=plans[0].tile_window)
+                  tile_window=plans[0].tile_window,
+                  rule_thunk=(None if plans[0].subm_rule is not None
+                              else (lambda: _bsr(plans[0].grid, 3))))
 
         x, s = apply_ublock(params["unet"], state["unet"], x, plans, 0,
                             block_reps=self.block_reps, training=training,

@@ -422,7 +422,8 @@ def rule_conv_fast(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
                    window: int = DEFAULT_WINDOW,
                    center_identity: bool = False,
                    spans: Optional[BandSpans] = None,
-                   fallback: str = "xla") -> jnp.ndarray:
+                   fallback: str = "xla",
+                   rule_thunk=None) -> jnp.ndarray:
     """Exact submanifold rulebook conv: Pallas packed-banded path when every
     rulebook entry is in-window (the overwhelmingly common case on sorted
     voxel data), selected at runtime by ``lax.cond``.  ``spans`` is the
@@ -437,14 +438,19 @@ def rule_conv_fast(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
       of ~40 never-taken branch bodies (executable upload to the tunneled
       device is the end-to-end bottleneck).
 
-    ``rule=None`` (requires spans + fallback="zeros") is the rd-kernel flow:
-    the (27, V) rule is never materialized (ops/pallas_rd.py)."""
+    ``rule=None`` (requires spans) is the rd-kernel flow: the (27, V) rule is
+    never materialized on the fast path (ops/pallas_rd.py).  With
+    fallback="xla" a ``rule_thunk`` must then supply the rule INSIDE the
+    slow branch — lax.cond branch bodies only execute when taken, so the
+    27-probe rulebook build is paid exclusively by overflowing batches."""
     from .sparse import subm_conv
 
     v = feats.shape[0]
     if rule is None:
-        assert spans is not None and fallback == "zeros", (
-            "rule=None needs precomputed spans and the zeros fallback")
+        assert spans is not None and (fallback == "zeros"
+                                      or rule_thunk is not None), (
+            "rule=None needs precomputed spans and either the zeros fallback "
+            "or a rule_thunk for the in-branch XLA fallback")
         v_out = spans.rd.shape[1]
         assert v_out % tile == 0 and v >= window
     else:
@@ -458,8 +464,10 @@ def rule_conv_fast(feats: jnp.ndarray, weight: jnp.ndarray, rule: jnp.ndarray,
     if fallback == "zeros":
         slow = lambda f: jnp.zeros((v_out, weight.shape[2]), f.dtype)
     else:
-        slow = lambda f: subm_conv(f, weight.astype(f.dtype), rule, live_mask,
-                                   center_identity=center_identity)
+        slow = lambda f: subm_conv(
+            f, weight.astype(f.dtype),
+            rule if rule is not None else rule_thunk(), live_mask,
+            center_identity=center_identity)
     return jax.lax.cond(
         spans.ok,
         lambda f: subm_conv_banded(f, weight, rule, live_mask, tile, window,
@@ -502,31 +510,32 @@ def rule_conv_dw_xla(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
 # transposed weights, and dW is one extra banded pass accumulating per-tile
 # outer products.
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def rule_conv_ad(feats, weight, rule, rule_t, live_out, live_in,
                  spans, spans_t,
                  mirror: bool, center_identity: bool, tile_window=None,
-                 fallback: str = "xla"):
+                 fallback: str = "xla", rule_thunk=None):
     """Differentiable rulebook conv.  ``spans``/``spans_t`` are the shared
     :class:`BandSpans` precomputes of ``rule``/``rule_t`` (see
-    :func:`rule_spans`); pass None to compute them inline.  ``fallback`` as
-    in :func:`rule_conv_fast`."""
+    :func:`rule_spans`); pass None to compute them inline.  ``fallback`` and
+    ``rule_thunk`` as in :func:`rule_conv_fast`."""
     tile, window = tile_window or (DEFAULT_TILE, DEFAULT_WINDOW)
     return rule_conv_fast(feats, weight, rule, live_out, tile, window,
                           center_identity=center_identity, spans=spans,
-                          fallback=fallback)
+                          fallback=fallback, rule_thunk=rule_thunk)
 
 
 def _rule_conv_ad_fwd(feats, weight, rule, rule_t, live_out, live_in,
                       spans, spans_t, mirror, center_identity, tile_window,
-                      fallback):
+                      fallback, rule_thunk):
     out = rule_conv_ad(feats, weight, rule, rule_t, live_out, live_in,
                        spans, spans_t, mirror, center_identity, tile_window,
-                       fallback)
+                       fallback, rule_thunk)
     return out, (feats, weight, rule, rule_t, live_out, live_in, spans, spans_t)
 
 
-def _rule_conv_ad_bwd(mirror, center_identity, tile_window, fallback, res, g):
+def _rule_conv_ad_bwd(mirror, center_identity, tile_window, fallback,
+                      rule_thunk, res, g):
     tile, window = tile_window or (DEFAULT_TILE, DEFAULT_WINDOW)
     feats, weight, rule, rule_t, live_out, live_in, spans, spans_t = res
     g = jnp.where(live_out[:, None], g, 0)
@@ -535,7 +544,7 @@ def _rule_conv_ad_bwd(mirror, center_identity, tile_window, fallback, res, g):
     wt = wt.transpose(0, 2, 1)
     dx = rule_conv_fast(g, wt, rule_t, live_in, tile, window,
                         center_identity=center_identity, spans=spans_t,
-                        fallback=fallback)
+                        fallback=fallback, rule_thunk=rule_thunk)
     dx = dx.astype(feats.dtype)
 
     v = feats.shape[0]
@@ -543,11 +552,13 @@ def _rule_conv_ad_bwd(mirror, center_identity, tile_window, fallback, res, g):
     if (rule is None or rule.shape[0] == 27) and v_out % tile == 0 \
             and v >= window:
         sp = spans if spans is not None else rule_spans(rule, tile, window, v)
-        if fallback == "zeros" or rule is None:
+        if fallback == "zeros" or (rule is None and rule_thunk is None):
             slow = lambda a: jnp.zeros(
                 (27, a[0].shape[1], a[1].shape[1]), jnp.float32)
         else:
-            slow = lambda a: rule_conv_dw_xla(a[0], a[1], rule, live_out)
+            slow = lambda a: rule_conv_dw_xla(
+                a[0], a[1], rule if rule is not None else rule_thunk(),
+                live_out)
         dw = jax.lax.cond(
             sp.ok,
             lambda a: rule_conv_dw_banded(a[0], a[1], rule, live_out, tile,
