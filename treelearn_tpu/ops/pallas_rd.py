@@ -168,10 +168,12 @@ def build_spans_banded(keys: jnp.ndarray, *, spatial_shape: tuple,
     kmax = jnp.max(jnp.where(live_row, tk, np.iinfo(np.int32).min), axis=1)
     live_tile = kmin != np.iinfo(np.int32).max
     dlt = jnp.asarray([d for _, _, d in deltas], jnp.int32)[:, None]
+    # method='sort' (concat + one sort) measured ~2x faster than the default
+    # binary-search lowering for these shapes on v5e
     lo_raw = jnp.searchsorted(keys, kmin[None, :] + dlt - 1,
-                              side="left").astype(jnp.int32)
+                              side="left", method="sort").astype(jnp.int32)
     hi_raw = jnp.searchsorted(keys, kmax[None, :] + dlt + 1,
-                              side="right").astype(jnp.int32)
+                              side="right", method="sort").astype(jnp.int32)
     lo = (lo_raw // _ALIGN) * _ALIGN
     lo = jnp.clip(lo, 0, max(v - window, 0))
     span_ok = (hi_raw - lo) <= (window - 8)
