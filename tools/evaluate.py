@@ -33,7 +33,9 @@ def evaluate(config, config_path=None):
     from treelearn_tpu.logging_utils import get_root_logger
     from treelearn_tpu.pipeline import make_labels_consecutive, propagate_preds
 
-    base_dir = osp.join(osp.dirname(config.paths.pred_forest_path), "evaluation")
+    base_dir = (config.get("work_dir")
+                or osp.join(osp.dirname(config.paths.pred_forest_path),
+                            "evaluation"))
     documentation_dir = osp.join(base_dir, "documentation")
     os.makedirs(documentation_dir, exist_ok=True)
     logger = get_root_logger(osp.join(documentation_dir, "evaluate_log.txt"))
@@ -126,7 +128,15 @@ def evaluate(config, config_path=None):
 if __name__ == "__main__":
     from treelearn_tpu.config import get_config
 
+    # same flag set as every other tool (reference parser.py:6-16);
+    # --work_dir overrides where evaluation artifacts land
     parser = argparse.ArgumentParser("treelearn_tpu evaluate")
     parser.add_argument("--config", type=str, help="path to evaluation config")
+    parser.add_argument("--work_dir", type=str, default=None,
+                        help="output directory (default: alongside the "
+                             "predicted cloud)")
     args = parser.parse_args()
-    evaluate(get_config(args.config), args.config)
+    cfg = get_config(args.config)
+    if args.work_dir:
+        cfg.work_dir = args.work_dir
+    evaluate(cfg, args.config)
