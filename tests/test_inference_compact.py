@@ -150,6 +150,7 @@ def test_level_tile_window_constraints():
     for c in (4, 32, 64, 96, 128, 192, 224, 448):
         tile, window = level_tile_window(c)
         assert tile >= 128 and tile % 128 == 0
-        assert window % 128 == 0 and window // tile >= 4 or tile == 128
-        # coverage ratio never drops below 4 (overflow margin)
-        assert window / tile >= 4
+        assert window % 128 == 0
+        # coverage ratio never drops below 3 (overflow margin; overflows
+        # fall back exactly via the spans-ok flag)
+        assert window / tile >= 3

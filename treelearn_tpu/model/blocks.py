@@ -332,20 +332,21 @@ class LevelPlan(NamedTuple):
 
 
 def level_tile_window(channels: int, capacity: int = 1 << 19):
-    """Per-level (tile, window) in voxels: the banded kernel's selection
-    GEMMs cost ~window_rows = window/pack per output voxel, so wide-channel
-    levels (smaller pack) shrink the window, keeping the window/tile
-    coverage ratio (4) that bounds overflows.  Tile floors at 128 (Mosaic
-    requires 128-divisible lane blocks for the (9, tile) rd tiles) and
-    grows with capacity so the scalar-prefetched (9, capacity/tile)
-    window-start table stays within TPU SMEM (16384 tiles measured 1.1 KB
-    over the 1 MB budget; 8192 fits)."""
-    from ..ops.pallas_conv import _pack_of
-
-    pack, _ = _pack_of(channels)
-    window = max(256 * pack, 512)
-    tile = max(window // 4, 128, int(capacity) // 8192)
-    return tile, 4 * tile
+    """Per-level (tile, window) in voxels for the sliding-pair banded kernel
+    (ops/pallas_conv.py).  The gather GEMM costs ~window/2 rows per output
+    voxel, so the window is the minimal 3x tile (ratio 2 overflowed on
+    centered plots; overflows still fall back exactly via the spans-ok
+    flag), floored at 512 and 128-aligned for the rd builder.  Tile floors
+    at 128 (Mosaic requires 128-divisible lane blocks for the (9, tile) rd
+    tiles) and grows with capacity so the scalar-prefetched
+    (9, capacity/tile) window-start table stays within TPU SMEM (16384
+    tiles measured 1.1 KB over the 1 MB budget; 8192 fits).  C<=32 uses
+    tile 256 (measured faster than 128/512 at the hot L0 shape:
+    scripts/ablate_conv4.py)."""
+    tile = max(256 if channels <= 32 else 128, int(capacity) // 8192)
+    window = max(3 * tile, 512)
+    window = ((window + 127) // 128) * 128
+    return tile, window
 
 
 def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,

@@ -15,23 +15,27 @@ But our rulebooks have structure XLA cannot see:
    are the consecutive integers K-1, K, K+1, and therefore the ones that
    exist sit in ≤3 *consecutive slots* of the sorted voxel array.
 
-The kernel exploits both.  Features are viewed in a lane-packed layout
-``(V/p, p·C)`` with p·C = 128 lanes (a free reshape — the buffer is
-voxel-major) so a window DMA wastes no lanes on channel padding.  Per
-(tile, band) it DMAs ONE contiguous packed window (full-bandwidth sequential
-read, 9 DMAs instead of 27), selects each output's 2-row group around the
-band's base slot ``r0`` with one-hot matmuls on the MXU:
+The kernel exploits both.  Features are materialized in a *sliding-pair*
+layout ``G[q] = [x_{2q} | x_{2q+1} | x_{2q+2} | x_{2q+3}]`` (stride-2 rows of
+4·C lanes — one cheap XLA concat+roll per conv call), so that ANY 3-slot
+candidate run [r0, r0+2] lives in the single row q0 = r0 >> 1 at lane phase
+m = r0 & 1 ∈ {0, 1}.  Per (tile, band) the kernel DMAs ONE contiguous window
+of G (full-bandwidth sequential read, 9 DMAs instead of 27), fetches each
+output's run with one one-hot matmul on the MXU, and selects lane groups by
+a 4-phase (m + dz-delta ∈ [0, 3]) masked select on the VPU:
 
-    G[t, r]  = (r0[t]//p - lo == r)                  # (T, W) one-hot, VPU
-    g_lo     = G  @ window;  g_hi = G(+1) @ window   # two MXU GEMMs
-    sel_k[t] = lane-group (r0[t]%p + d_k[t]) of [g_lo | g_hi]   # VPU select
+    O[t, q]  = (r0[t]>>1 - lo == q)                  # (T, W/2) one-hot, VPU
+    g        = O @ window                            # ONE MXU GEMM, (T, 4C)
+    sel_k[t] = lane-group (r0[t]&1 + d_k[t]) of g    # 4-phase VPU select
 
 and applies all 27 weight matrices as ONE wide GEMM at the end:
 
     out_tile = [sel_0 | sel_1 | … | sel_26] @ vstack(W_k)        # MXU
 
-Relative to the per-offset unpacked form this cuts window HBM traffic ~9×
-and selection-GEMM FLOPs ~4× at C=32 (the hot L0/L1 levels of the U-Net).
+Relative to the per-offset unpacked form this cuts window HBM traffic ~4.5×
+and selection-GEMM FLOPs ~4×; relative to the round-2 4-voxel-packed layout
+(two row GEMMs + 6-phase select) it is ~1.25× faster at the hot L0 shape
+(scripts/ablate_conv4.py: 19.3 → 15.4 ms at tile 256, window 768).
 
 Window residency is double-buffered across bands.  Entries whose input falls
 outside the window (possible only in pathological density jumps) are counted
@@ -51,16 +55,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# (tile, window) = (256, 1024): measured fastest of the ok=True configs on
-# the bench forest (scripts/ablate_conv2.py sweep: 18.1 ms vs 21.8 at
-# 128/512, vs 33 for the pre-widesel kernel).  The within-tile index spread
-# scales with tile, so window must scale with it — T=256 over 512-windows
-# overflowed on centered plots.  The window is in *voxels*; the kernel
-# divides by the pack factor to get DMA rows.
+# (tile, window) = (256, 768): fastest ok=True config of the round-3 sweep
+# (scripts/ablate_conv4.py: slide 15.0 ms at window 640, 15.4 at 768, 16.1
+# at 1024; 128/512 was 19.5).  The within-tile index spread scales with the
+# tile, so the window scales with it — T=256 over 512-voxel windows (ratio
+# 2) overflowed on centered plots; ratio 3 keeps headroom and overflows
+# still fall back exactly via the spans-ok flag.  The window is in *voxels*;
+# the kernel uses stride-2 rows (window/2 DMA rows of 4C lanes).
 DEFAULT_TILE = 256
-DEFAULT_WINDOW = 1024
-# window starts are aligned down to 64 voxels so the packed-row DMA start is
-# a multiple of the bf16 sublane tile (16) for every pack factor p ∈ {1,2,4}
+DEFAULT_WINDOW = 768
+# window starts are aligned down to 64 voxels so the stride-2 row DMA start
+# (lo/2) is a multiple of the bf16 sublane tile (16 ≤ 32)
 _ALIGN = 64
 
 # interpreter mode for CPU-side testing of the kernels
@@ -90,22 +95,21 @@ class BandSpans(NamedTuple):
 
 
 def _pack_of(cin: int):
-    """(pack, c_unit): lane-pack factor and padded per-voxel channel count.
-
-    p voxels share a 128-lane (or 256 for c_unit=256) window row; p·c_unit is
-    the row's lane width.  Packing is free: (V, C) voxel-major IS (V/p, p·C).
-    """
+    """(pack, c_unit) of the HISTORICAL 4-voxel-packed layout — kept only for
+    level_tile_window's window-scaling heuristic; the kernels now use the
+    sliding-pair layout (see :func:`_cunit_of` / :func:`_slide_feats`)."""
     if cin <= 32:
         return 4, 32
     if cin <= 64:
         return 2, 64
-    if cin <= 128:
-        return 1, 128
-    if cin <= 256:
-        return 1, 256
-    if cin <= 512:
-        # concat-skip tail blocks (2c up to 448 at depth 7)
-        return 1, 512
+    return 1, _cunit_of(cin)
+
+
+def _cunit_of(cin: int) -> int:
+    """Padded per-voxel channel count (lane-group width of the slide rows)."""
+    for c in (32, 64, 128, 256, 512):
+        if cin <= c:
+            return c
     raise NotImplementedError(f"cin={cin} > 512")
 
 
@@ -114,8 +118,8 @@ def rule_spans(rule: jnp.ndarray, tile: int, window: int, v: int) -> BandSpans:
     rulebook over a V-row input array: see :class:`BandSpans`.
 
     ``ok`` is True iff every valid entry satisfies ``r0 - lo <= window - 8``,
-    which guarantees the 2-row packed group [r0//p, r0//p + 1] is inside the
-    W = window/p row window for every pack factor p ∈ {1, 2, 4}.
+    which guarantees the sliding-pair row q0 = r0>>1 (covering slots
+    [2*q0, 2*q0+3] ⊇ [r0, r0+2]) is inside the window/2-row window.
     """
     k, n = rule.shape
     assert k == 27, k
@@ -147,10 +151,17 @@ def banded_spans_ok(rule: jnp.ndarray, tile: int, window: int, v: int):
 
 
 def _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems, consume,
-                  *, window_rows, tile, pack, c_unit):
+                  *, window_rows, tile, c_unit):
     """Shared gather stage: per band b in [0, 9), gather each output's three
-    dz-neighbor feature rows via banded one-hot MXU gathers and hand the
-    lane-concatenated (T, 3*c_unit) bf16 result to ``consume(b, band_cat)``.
+    dz-neighbor feature rows via a banded one-hot MXU gather over the
+    sliding-pair window and hand the lane-concatenated (T, 3*c_unit) bf16
+    result to ``consume(b, band_cat)``.
+
+    ``feats_hbm`` is the slide layout (V/2, 4*c_unit): row q = voxels
+    [2q : 2q+4].  The candidate run [r0, r0+2] lives entirely in row
+    q0 = r0 >> 1 (even r0 covers r0..r0+3, odd covers r0-1..r0+2), at lane
+    phase m = r0 & 1, so ONE one-hot GEMM fetches it and the dz select needs
+    only the 4 phases m + dd ∈ [0, 3].
 
     fori_loop (NOT a python loop) over the 9 bands: the unrolled body costs
     ~0.5 MB of VLIW code per band and the model instantiates ~65 of these
@@ -158,10 +169,9 @@ def _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems, consume,
     device dominated end-to-end time.  Double-buffering works unchanged:
     band b waits on slot b%2 while b+1 streams into the other slot.
     """
-    shift = {1: 0, 2: 1, 4: 2}[pack]
 
     def dma(b_idx, slot):
-        start = pl.multiple_of(lo_ref[b_idx, t] // pack, _ALIGN // pack)
+        start = pl.multiple_of(lo_ref[b_idx, t] // 2, _ALIGN // 2)
         return pltpu.make_async_copy(
             feats_hbm.at[pl.ds(start, window_rows), :],
             window_buf.at[slot],
@@ -183,43 +193,21 @@ def _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems, consume,
         rd = rd_ref[b, :]                                   # (T,) int32
         has = rd >= 0
         r0 = jax.lax.shift_right_arithmetic(rd, 6)
-        lo_row = lo_ref[b, t] // pack
-        if pack > 1:
-            q0 = jnp.clip(jax.lax.shift_right_arithmetic(r0, shift) - lo_row,
-                          0, window_rows - 2)
-            # validity is folded into the index (-1 matches no column):
-            # Mosaic cannot broadcast 1-D bools into a minor dim
-            q0m = jnp.where(has, q0, -1)
-            onehot = (q0m[:, None] == col_ids)
-            g_lo = jnp.dot(onehot.astype(jnp.bfloat16), window_buf[slot],
-                           preferred_element_type=jnp.float32
-                           ).astype(jnp.bfloat16)
-            onehot1 = (jnp.where(has, q0 + 1, -1)[:, None] == col_ids)
-            g_hi = jnp.dot(onehot1.astype(jnp.bfloat16), window_buf[slot],
-                           preferred_element_type=jnp.float32
-                           ).astype(jnp.bfloat16)
-            m = jax.lax.bitwise_and(r0, pack - 1)           # r0 % p
-        if pack == 1:
-            sels = []
-            for dz in range(3):
-                dd = jax.lax.bitwise_and(
-                    jax.lax.shift_right_logical(rd, 2 * dz), 3) - 1
-                vmask = has & (dd >= 0)
-                # slot r0+dd is within [q0, q0+2] of the window (ok margin)
-                rel = jnp.clip(r0 + dd - lo_row, 0, window_rows - 1)
-                relm = jnp.where(vmask, rel, -1)
-                oh = (relm[:, None] == col_ids).astype(jnp.bfloat16)
-                sels.append(jnp.dot(oh, window_buf[slot],
-                                    preferred_element_type=jnp.float32
-                                    ).astype(jnp.bfloat16))
-            consume(b, jnp.concatenate(sels, axis=1))        # (T, 3*c_unit)
-            return _
+        lo_row = lo_ref[b, t] // 2
+        q0 = jnp.clip(jax.lax.shift_right_arithmetic(r0, 1) - lo_row,
+                      0, window_rows - 1)
+        # validity is folded into the index (-1 matches no column):
+        # Mosaic cannot broadcast 1-D bools into a minor dim
+        q0m = jnp.where(has, q0, -1)
+        onehot = (q0m[:, None] == col_ids)
+        g = jnp.dot(onehot.astype(jnp.bfloat16), window_buf[slot],
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        m = jax.lax.bitwise_and(r0, 1)
 
         # fused wide select: one (T, 3*c_unit) phase plane serves all three
         # dz lanes at once — the per-dz (T, c_unit) form wasted 3/4 of the
         # VPU lanes at c_unit=32 and was 58% of kernel time (ablation in
-        # scripts/ablate_conv.py).  Phases m+dd span [0, pack+1]: pack+2
-        # iterations, g_hi contributes only its first two lane groups.
+        # scripts/ablate_conv.py).
         phs = []
         for dz in range(3):
             dd = jax.lax.bitwise_and(
@@ -231,10 +219,8 @@ def _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems, consume,
             lane3 == 0, phs[0][:, None],
             jnp.where(lane3 == 1, phs[1][:, None], phs[2][:, None]))
         sel_cat = jnp.zeros((tile, 3 * c_unit), jnp.bfloat16)
-        for pv in range(pack + 2):
-            src = g_lo if pv < pack else g_hi
-            lane = (pv % pack) * c_unit
-            blk = src[:, lane:lane + c_unit]
+        for pv in range(4):
+            blk = g[:, pv * c_unit:(pv + 1) * c_unit]
             wide = jnp.concatenate([blk, blk, blk], axis=1)
             sel_cat = sel_cat + jnp.where(ph_plane == pv, wide, 0)
         consume(b, sel_cat)                                  # (T, 3*c_unit)
@@ -244,7 +230,7 @@ def _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems, consume,
 
 
 def _subm_kernel(lo_ref, n_live_ref, rd_ref, feats_hbm, w_ref, out_ref,
-                 window_buf, acc_ref, sems, *, window_rows, tile, pack,
+                 window_buf, acc_ref, sems, *, window_rows, tile,
                  c_unit, out_dtype):
     t = pl.program_id(0)
     out_ref[:] = jnp.zeros_like(out_ref)
@@ -260,17 +246,22 @@ def _subm_kernel(lo_ref, n_live_ref, rd_ref, feats_hbm, w_ref, out_ref,
                                   preferred_element_type=jnp.float32)
 
         _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems,
-                      consume, window_rows=window_rows, tile=tile, pack=pack,
+                      consume, window_rows=window_rows, tile=tile,
                       c_unit=c_unit)
         out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _pack_feats(feats: jnp.ndarray, pack: int, c_unit: int) -> jnp.ndarray:
+def _slide_feats(feats: jnp.ndarray, c_unit: int) -> jnp.ndarray:
+    """(V, Cin) -> sliding-pair layout (V/2, 4*c_unit): row q = voxels
+    [2q : 2q+4] (bf16, channel-padded).  One concat+roll at HBM bandwidth per
+    conv call; the wrap of the last row is never selected (slots >= V cannot
+    be valid rulebook entries)."""
     v, cin = feats.shape
     fb = feats.astype(jnp.bfloat16)
     if cin != c_unit:
         fb = jnp.pad(fb, ((0, 0), (0, c_unit - cin)))
-    return fb.reshape(v // pack, pack * c_unit)
+    f2 = fb.reshape(v // 2, 2 * c_unit)
+    return jnp.concatenate([f2, jnp.roll(f2, -1, axis=0)], axis=1)
 
 
 def _band_weight(weight: jnp.ndarray, c_unit: int) -> jnp.ndarray:
@@ -301,12 +292,12 @@ def subm_conv_banded(feats: jnp.ndarray, weight: jnp.ndarray,
     k, _, cout = weight.shape
     assert k == 27 and v_out % tile == 0 and v >= window, (k, v, v_out)
     ntiles = v_out // tile
-    pack, c_unit = _pack_of(cin)
-    window_rows = window // pack
+    c_unit = _cunit_of(cin)
+    window_rows = window // 2
 
     if spans is None:
         spans = rule_spans(rule, tile, window, v)
-    feats_p = _pack_feats(feats, pack, c_unit)
+    feats_p = _slide_feats(feats, c_unit)
     w_band = _band_weight(weight, c_unit)
     n_live = jnp.sum(live_mask).astype(jnp.int32).reshape(1)
 
@@ -315,19 +306,19 @@ def subm_conv_banded(feats: jnp.ndarray, weight: jnp.ndarray,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((9, tile), lambda t, lo, nl: (0, t)),   # rd tile
-            pl.BlockSpec(memory_space=pltpu.HBM),                # packed feats
+            pl.BlockSpec(memory_space=pltpu.HBM),                # slide feats
             pl.BlockSpec(memory_space=pltpu.VMEM),               # flat weights
         ],
         out_specs=pl.BlockSpec((tile, cout), lambda t, lo, nl: (t, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, window_rows, pack * c_unit), jnp.bfloat16),
+            pltpu.VMEM((2, window_rows, 4 * c_unit), jnp.bfloat16),
             pltpu.VMEM((tile, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_subm_kernel, window_rows=window_rows, tile=tile,
-                          pack=pack, c_unit=c_unit, out_dtype=feats.dtype),
+                          c_unit=c_unit, out_dtype=feats.dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((v_out, cout), feats.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -343,7 +334,7 @@ def subm_conv_banded(feats: jnp.ndarray, weight: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _dw_kernel(lo_ref, n_live_ref, rd_ref, g_ref, x_hbm, out_ref,
-               window_buf, sems, *, window_rows, tile, pack, c_unit):
+               window_buf, sems, *, window_rows, tile, c_unit):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -360,7 +351,7 @@ def _dw_kernel(lo_ref, n_live_ref, rd_ref, g_ref, x_hbm, out_ref,
                 preferred_element_type=jnp.float32)
 
         _gather_bands(t, lo_ref, rd_ref, x_hbm, window_buf, sems,
-                      consume, window_rows=window_rows, tile=tile, pack=pack,
+                      consume, window_rows=window_rows, tile=tile,
                       c_unit=c_unit)
 
 
@@ -380,12 +371,12 @@ def rule_conv_dw_banded(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
     v_out, cout = g.shape
     assert (rule is None or rule.shape[0] == 27) and v_out % tile == 0 \
         and v >= window
-    pack, c_unit = _pack_of(cin)
-    window_rows = window // pack
+    c_unit = _cunit_of(cin)
+    window_rows = window // 2
 
     if spans is None:
         spans = rule_spans(rule, tile, window, v)
-    x_p = _pack_feats(x, pack, c_unit)
+    x_p = _slide_feats(x, c_unit)
     g_b = jnp.where(live_mask[:, None], g, 0).astype(jnp.bfloat16)
     n_live = jnp.sum(live_mask).astype(jnp.int32).reshape(1)
 
@@ -400,13 +391,13 @@ def rule_conv_dw_banded(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
         out_specs=pl.BlockSpec((9, 3 * c_unit, cout),
                                lambda t, lo, nl: (0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, window_rows, pack * c_unit), jnp.bfloat16),
+            pltpu.VMEM((2, window_rows, 4 * c_unit), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dw = pl.pallas_call(
         functools.partial(_dw_kernel, window_rows=window_rows, tile=tile,
-                          pack=pack, c_unit=c_unit),
+                          c_unit=c_unit),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((9, 3 * c_unit, cout), jnp.float32),
         compiler_params=pltpu.CompilerParams(

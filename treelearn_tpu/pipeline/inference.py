@@ -47,6 +47,12 @@ def _pow2(x: int) -> int:
     return 1 << int(np.ceil(np.log2(max(int(x), 1))))
 
 
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def _prefetch(loader: Iterable, depth: int = 2):
     """Run the loader (tile cutting + collate) on a background thread and
     device_put each batch, so H2D overlaps device compute."""
@@ -356,14 +362,30 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
     if timings is not None and last_dispatch is not None:
         # pure device step time (no host transfer) for the MFU report:
         # device_s above includes D2H, which on a tunneled chip can dwarf
-        # the compute it measures
+        # the compute it measures.  One re-dispatch of an identical batch is
+        # unreliable both ways on a tunneled chip (server-side dedup can
+        # no-op it; a tunnel stall can triple it) — so: min of 3 dispatches
+        # with input perturbations that keep shapes/programs identical,
+        # minus the measured dispatch round-trip (the profiling discipline
+        # of docs/performance.md / scripts/profile_step.py::timeit).
         step, jbatch = last_dispatch
-        t0 = time.time()
-        jax.block_until_ready(step(params, state, jbatch))
-        tm["pure_step_s"] = time.time() - t0
+        t_rerun = time.time()
+        tiny = jax.jit(lambda x: x + 1.0)
+        jax.block_until_ready(tiny(jnp.float32(0)))
+        rtt = min(_timed(lambda i=i: jax.block_until_ready(
+            tiny(jnp.float32(i)))) for i in range(1, 4))
+        best = float("inf")
+        for i in range(1, 4):
+            jb = dict(jbatch)
+            jb["coords"] = jbatch["coords"] + jnp.float32(7e-4 * i)
+            jax.block_until_ready(jb["coords"])  # perturb outside the timing
+            best = min(best, _timed(lambda jb=jb: jax.block_until_ready(
+                step(params, state, jb))))
+        tm["pure_step_s"] = max(best - rtt, 0.0)
+        tm["dispatch_rtt_s"] = rtt
         # instrumentation, not pipeline work: callers subtract this from
         # their stage wall-clock
-        tm["timing_rerun_s"] = tm["pure_step_s"]
+        tm["timing_rerun_s"] = time.time() - t_rerun
 
     cat = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
     return (cat["semantic_prediction_logits"], cat["semantic_labels"],
