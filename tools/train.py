@@ -22,7 +22,7 @@ TREE_CONF_THRESHOLD = 0.5
 
 
 def train_epoch(config, epoch, train_step, params, state, opt_state,
-                train_loader, logger, writer):
+                train_loader, logger, writer, fallback_step=None):
     import jax.numpy as jnp
 
     start = time.time()
@@ -35,6 +35,18 @@ def train_epoch(config, epoch, train_step, params, state, opt_state,
                   if isinstance(v, np.ndarray)}
         params, state, opt_state, loss, loss_dict = train_step(
             params, state, opt_state, jbatch)
+        spans_ok = loss_dict.pop("_spans_ok", None)
+        if spans_ok is not None and not bool(np.asarray(spans_ok).all()) \
+                and fallback_step is not None:
+            # the slim rule-free program overflowed a banded window: its
+            # update was a no-op in-program, so re-dispatch the SAME batch
+            # on the exact fast_conv=True fallback program (compiled lazily
+            # on first overflow)
+            logger.info(f"train epoch {epoch} batch {i}: banded-window "
+                        "overflow; retrying on the exact fallback program")
+            params, state, opt_state, loss, loss_dict = fallback_step()(
+                params, state, opt_state, jbatch)
+            loss_dict.pop("_spans_ok", None)
         counts = loss_dict.pop("_n_voxels_per_level", None)
         if counts is not None:
             from treelearn_tpu.model.network import check_capacity
@@ -160,6 +172,7 @@ def main():
             logger.info("restored optimizer state from checkpoint")
     compute_dtype = jnp.bfloat16 if config.get("fp16") else jnp.float32
     voxel_capacity = int(config.get("voxel_capacity", 1 << 19))
+    fallback_cache = {}
     if mesh is not None:
         from treelearn_tpu.parallel import make_dp_train_step
 
@@ -167,11 +180,29 @@ def main():
             model, optimizer, mesh,
             batch_size=config.dataloader.train.batch_size,
             voxel_capacity=voxel_capacity, compute_dtype=compute_dtype)
+
+        def fallback_step():
+            if "step" not in fallback_cache:
+                fallback_cache["step"], _, _ = make_dp_train_step(
+                    model, optimizer, mesh,
+                    batch_size=config.dataloader.train.batch_size,
+                    voxel_capacity=voxel_capacity,
+                    compute_dtype=compute_dtype, fast_conv=True)
+            return fallback_cache["step"]
     else:
         train_step = make_train_step(model, optimizer,
                                      batch_size=config.dataloader.train.batch_size,
                                      voxel_capacity=voxel_capacity,
                                      compute_dtype=compute_dtype)
+
+        def fallback_step():
+            if "step" not in fallback_cache:
+                fallback_cache["step"] = make_train_step(
+                    model, optimizer,
+                    batch_size=config.dataloader.train.batch_size,
+                    voxel_capacity=voxel_capacity,
+                    compute_dtype=compute_dtype, fast_conv=True)
+            return fallback_cache["step"]
     # fast_conv=True: validation must be exact without the spans-ok retry
     # protocol (the slim "zeros" program needs its caller to re-dispatch on
     # span overflow; here we just embed the exact fallback branch)
@@ -192,7 +223,7 @@ def main():
             jax.profiler.start_trace(profile_dir)
         params, state, opt_state = train_epoch(
             config, epoch, train_step, params, state, opt_state,
-            train_loader, logger, writer)
+            train_loader, logger, writer, fallback_step=fallback_step)
         if tracing:
             jax.block_until_ready(params)
             jax.profiler.stop_trace()

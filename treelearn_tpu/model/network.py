@@ -257,10 +257,14 @@ class TreeLearn:
         caps = default_capacities(voxel_capacity, self.num_blocks)
         grid0 = grid_from_sorted_keys(vb.voxel_keys, vb.spatial_shape, vb.n_voxels)
         if materialize_rules is None:
-            # gradient programs must materialize rules: the lazy in-branch
-            # rule_thunk closes over tracers, which custom_vjp's backward
-            # trace cannot consume (leaked-tracer TypeError)
-            materialize_rules = training
+            # only fast_conv=True gradient programs must materialize rules:
+            # their backward invokes the lazy in-branch rule_thunk, which
+            # closes over tracers that custom_vjp's backward trace cannot
+            # consume (leaked-tracer TypeError).  The "zeros"-fallback
+            # gradient program never calls the thunk (its out-of-window
+            # branches return zeros and the train step no-ops the update on
+            # the spans_ok flag), so it trains rule-free.
+            materialize_rules = training and fast_conv is True
         plans = build_level_plans(grid0, self.num_blocks, self.kernel_size, caps,
                                   static_spatial_shape=self.spatial_shape,
                                   batch_size=batch_size,

@@ -46,7 +46,7 @@ def shard_batch_arrays(batch: dict, n_shards: int) -> dict:
 
 def make_dp_train_step(model, optimizer, mesh: Mesh, *, batch_size: int,
                        voxel_capacity: int, compute_dtype=jnp.bfloat16,
-                       axis_name: str = "dp"):
+                       axis_name: str = "dp", fast_conv=None):
     """Data-parallel train step via shard_map over the mesh.
 
     Batch arrays carry a leading device axis (D, P, ...): device d runs the
@@ -66,8 +66,13 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, *, batch_size: int,
             batch["batch_ids"], batch["valid"],
             batch_size=batch_size, voxel_capacity=voxel_capacity,
             training=True, compute_dtype=compute_dtype,
-            fast_conv=True if jax.default_backend() == "tpu" else None,
+            # rule-free slim program (see make_train_step): a window
+            # overflow on ANY shard gates the whole global update to a
+            # no-op via the psum'd spans_ok flag below
+            fast_conv=fast_conv if fast_conv is not None else (
+                "zeros" if jax.default_backend() == "tpu" else None),
         )
+        spans_ok = output.get("spans_ok")
         logits = output["semantic_prediction_logits"].astype(jnp.float32)
         offs = output["offset_predictions"].astype(jnp.float32)
         msem = (batch["masks_sem"] & batch["valid"]).astype(jnp.float32)
@@ -81,23 +86,30 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, *, batch_size: int,
 
         sums = jnp.stack([(ce * msem).sum(), msem.sum(),
                           (dist * moff).sum(), moff.sum()])
-        return sums, output["n_voxels_per_level"], new_state
+        return sums, output["n_voxels_per_level"], spans_ok, new_state
 
     def step_fn(params, state, opt_state, batch):
         # shard_map delivers the sharded leading device axis as size 1: strip it
         batch = jax.tree.map(lambda x: x[0], batch)
 
         def loss_fn(p):
-            sums, counts, new_state = local_loss_terms(p, state, batch)
+            sums, counts, spans_ok, new_state = local_loss_terms(
+                p, state, batch)
             g = jax.lax.psum(sums, axis_name)
             sem_loss = jnp.where(g[1] > 0, g[0] / jnp.maximum(g[1], 1.0), 0.0)
             off_loss = jnp.where(g[3] > 0, g[2] / jnp.maximum(g[3], 1.0), 0.0)
             loss = sem_loss * LOSS_MULTIPLIER_SEMANTIC + off_loss
-            return loss, (new_state, {"semantic_loss": sem_loss * LOSS_MULTIPLIER_SEMANTIC,
-                                      "offset_loss": off_loss,
-                                      # worst shard drives the overflow guard
-                                      "_n_voxels_per_level":
-                                          jax.lax.pmax(counts, axis_name)})
+            loss_dict = {"semantic_loss": sem_loss * LOSS_MULTIPLIER_SEMANTIC,
+                         "offset_loss": off_loss,
+                         # worst shard drives the overflow guard
+                         "_n_voxels_per_level":
+                             jax.lax.pmax(counts, axis_name)}
+            if spans_ok is not None:
+                # per-flag AND over all shards: any shard's overflow
+                # invalidates the pmean'd gradient everywhere
+                loss_dict["_spans_ok"] = jax.lax.pmin(
+                    spans_ok.astype(jnp.int32), axis_name).astype(bool)
+            return loss, (new_state, loss_dict)
 
         (loss, (new_state, loss_dict)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -106,6 +118,13 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, *, batch_size: int,
         new_state = jax.lax.pmean(new_state, axis_name)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        if "_spans_ok" in loss_dict:
+            ok = jnp.all(loss_dict["_spans_ok"])
+            keep = lambda new, old: jax.tree.map(  # noqa: E731
+                lambda n, o: jnp.where(ok, n, o), new, old)
+            new_params = keep(new_params, params)
+            new_state = keep(new_state, state)
+            new_opt_state = keep(new_opt_state, opt_state)
         return new_params, new_state, new_opt_state, loss, loss_dict
 
     sharded_step = jax.shard_map(

@@ -88,8 +88,21 @@ def loss_from_output(output, batch):
 
 
 def make_train_step(model, optimizer, *, batch_size: int, voxel_capacity: int,
-                    compute_dtype=jnp.bfloat16):
-    """One jitted optimization step over a padded flat batch."""
+                    compute_dtype=jnp.bfloat16, fast_conv=None):
+    """One jitted optimization step over a padded flat batch.
+
+    ``fast_conv`` defaults to the slim ``"zeros"`` program on TPU: rulebooks
+    are never materialized (the Pallas rd kernel supplies the banded spans
+    directly — the 27-probe build cost ~220 ms/step at 512k voxels), and a
+    banded-window overflow surfaces as ``loss_dict["_spans_ok"]`` with the
+    whole update gated to a NO-OP in-program (params/state/opt_state pass
+    through unchanged), so the host can re-dispatch the same batch on an
+    exact ``fast_conv=True`` fallback step without losing anything.  The
+    reference's analogue of this hazard is spconv's "reach zero!!!"
+    crash-and-skip (reference util/pipeline.py:91-97).
+    """
+    if fast_conv is None and jax.default_backend() == "tpu":
+        fast_conv = "zeros"
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, state, opt_state, batch):
@@ -100,17 +113,28 @@ def make_train_step(model, optimizer, *, batch_size: int, voxel_capacity: int,
                 batch["batch_ids"], batch["valid"],
                 batch_size=batch_size, voxel_capacity=voxel_capacity,
                 training=True, compute_dtype=compute_dtype,
-                fast_conv=True if jax.default_backend() == "tpu" else None,
+                fast_conv=fast_conv,
             )
             loss, loss_dict = loss_from_output(output, batch)
-            # reserved key: host-side overflow guard, popped before logging
+            # reserved keys: host-side overflow guards, popped before logging
             loss_dict["_n_voxels_per_level"] = output["n_voxels_per_level"]
+            if "spans_ok" in output:
+                loss_dict["_spans_ok"] = output["spans_ok"]
             return loss, (new_state, loss_dict)
 
         (loss, (new_state, loss_dict)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        if "_spans_ok" in loss_dict:
+            # any overflowed window => forward/grads are invalid (zeros
+            # branch) => make the whole update a no-op; the host retries
+            ok = jnp.all(loss_dict["_spans_ok"])
+            keep = lambda new, old: jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new, old)
+            new_params = keep(new_params, params)
+            new_state = keep(new_state, state)
+            new_opt_state = keep(new_opt_state, opt_state)
         return new_params, new_state, new_opt_state, loss, loss_dict
 
     return train_step
