@@ -91,21 +91,25 @@ def save_data(data: np.ndarray, save_format: str, save_name: str, save_folder: s
 
         offsets = points.mean(0) if use_offset else (0.0, 0.0, 0.0)
 
-        unique_labels, inv = np.unique(labels, return_inverse=True)
-        palette = np.array([generate_random_color() for _ in unique_labels],
-                           dtype=np.uint16).reshape(len(unique_labels), 3)
-        colors = palette[inv]
-        colors[classification == 2] = [0, 0, 0]
+        from ..utils.timing import substage
+
+        with substage(f"save_data palette ({save_name})"):
+            unique_labels, inv = np.unique(labels, return_inverse=True)
+            palette = np.array([generate_random_color() for _ in unique_labels],
+                               dtype=np.uint16).reshape(len(unique_labels), 3)
+            colors = palette[inv]
+            colors[classification == 2] = [0, 0, 0]
 
         save_path = osp.join(save_folder, f"{save_name}.{save_format}")
-        write_las(
-            save_path,
-            xyz=points,
-            classification=classification.astype(np.uint8),
-            rgb=colors,
-            extra={"treeID": labels.astype(np.uint32)},
-            offsets=offsets,
-        )
+        with substage(f"write_las ({save_name}, {len(points)} pts)"):
+            write_las(
+                save_path,
+                xyz=points,
+                classification=classification.astype(np.uint8),
+                rgb=colors,
+                extra={"treeID": labels.astype(np.uint32)},
+                offsets=offsets,
+            )
     elif save_format == "npy":
         np.save(osp.join(save_folder, f"{save_name}.npy"), data)
     elif save_format == "npz":
