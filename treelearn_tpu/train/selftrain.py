@@ -34,7 +34,7 @@ def train_synthetic_checkpoint(
     lr: float = 2e-3,
     batch_size: int = 1,
     voxel_capacity: int = 1 << 17,
-    n_crops: int = 8,
+    n_crops: int = 12,
     crop_extent: float = 30.0,
     seed0: int = 101,
     logger=None,
@@ -56,14 +56,15 @@ def train_synthetic_checkpoint(
     import jax.numpy as jnp
 
     from ..data import TreeDataset, TreeLoader
-    from ..data.synthetic import make_crop_npz, make_synthetic_forest, verticality_proxy
+    from ..data.synthetic import (make_crop_npz, make_synthetic_forest,
+                                  make_synthetic_forest_hard, verticality_proxy)
     from ..model import TreeLearn
     from ..model.checkpoint import save_checkpoint
     from .loop import build_optimizer, make_train_step
 
     recipe = {"steps": steps, "lr": lr, "batch_size": batch_size,
               "voxel_capacity": voxel_capacity, "n_crops": n_crops,
-              "crop_extent": crop_extent, "seed0": seed0, "v": 1}
+              "crop_extent": crop_extent, "seed0": seed0, "v": 3}
     mc = dict(model_cfg)
     # training-time spatial bound for the crop extent (the dense probe
     # tables scale with it; the checkpoint is shape-independent)
@@ -80,7 +81,11 @@ def train_synthetic_checkpoint(
     t0 = time.time()
     crops_dir = tempfile.mkdtemp(prefix="selftrain_crops_")
     for i in range(n_crops):
-        data, _ = make_synthetic_forest(
+        # 50/50 easy cones / hard-mode geometry (interlocking crowns,
+        # understory, occlusion, density gradients) so the checkpoint is a
+        # meaningful anchor for BOTH benchmark passes
+        gen = make_synthetic_forest if i % 2 == 0 else make_synthetic_forest_hard
+        data, _ = gen(
             n_trees=max(int(crop_extent * crop_extent / 75), 3),
             extent=crop_extent, points_per_tree=9000,
             ground_points=int(crop_extent * crop_extent * 55),
@@ -99,8 +104,14 @@ def train_synthetic_checkpoint(
 
     model = TreeLearn(**mc)
     params, state = model.init(np.random.SeedSequence(seed0))
-    optimizer = build_optimizer({"type": "AdamW", "lr": lr,
-                                 "weight_decay": 1e-3}, grad_norm_clip=True)
+    # per-step cosine decay (recipe v3): the constant-lr run left the mixed
+    # easy/hard curriculum noisy at the end (loss spikes at step 200+ and a
+    # 99->93 easy-F1 regression); cosine to lr/20 settles both passes
+    optimizer = build_optimizer(
+        {"type": "AdamW", "lr": lr, "weight_decay": 1e-3},
+        scheduler_cfg={"t_initial": steps, "warmup_t": min(30, steps // 10),
+                       "lr_min": lr / 20, "warmup_lr_init": lr / 100},
+        steps_per_epoch=1, grad_norm_clip=True)
     opt_state = optimizer.init(params)
     step_fn = make_train_step(model, optimizer, batch_size=batch_size,
                               voxel_capacity=voxel_capacity,
@@ -131,6 +142,54 @@ def train_synthetic_checkpoint(
     if logger:
         logger(f"selftrain: done in {time.time() - t0:.0f}s -> {ckpt_path}")
     return ckpt_path
+
+
+def segmentation_partition_summary(pointwise_npz: str) -> dict:
+    """Mean xy/z partition IoU over matched trees (reference protocol:
+    tools/evaluation/evaluate.py:92-116 with the 10-bin partitions of
+    configs/evaluation/evaluate.yaml) — the hard-mode benchmark's regression
+    anchors for clustering quality."""
+    import numpy as np
+
+    from ..eval import (evaluate_xy_partition, evaluate_z_partition,
+                        get_detections)
+    from ..pipeline.instances import make_labels_consecutive
+
+    z = np.load(pointwise_npz)
+    coords = z["coords"].astype(np.float64)
+    gt = z["instance_labels"].astype(np.int64)
+    pred = z["instance_preds"].astype(np.int64)
+
+    gt = np.where(gt == 0, -1, gt)
+    mapping_gt = {-1: -1}
+    m = gt != -1
+    if m.any():
+        gt[m], mg = make_labels_consecutive(gt[m], start_num=0)
+        mapping_gt.update(mg)
+    pred = np.where(pred == 0, -1, pred)
+    mapping_pred = {-1: -1}
+    m = pred != -1
+    if m.any():
+        pred[m], mp = make_labels_consecutive(pred[m], start_num=0)
+        mapping_pred.update(mp)
+
+    _, _, iou, _, _ = get_detections(gt, pred, min_iou_match=0.5,
+                                     non_tree_label=-1)
+    unique_gts = np.arange(iou.shape[1])
+    unique_preds = iou.argmax(axis=0)
+    intvls = [round(0.1 * i, 1) for i in range(11)]
+    xy = evaluate_xy_partition(pred, gt, unique_gts, unique_preds, coords,
+                               intvls, mapping_gt, mapping_pred)
+    zp = evaluate_z_partition(pred, gt, unique_gts, unique_preds, coords,
+                              intvls, mapping_gt, mapping_pred)
+    xy_iou = [c for c in xy.columns if c.startswith("iou_")]
+    z_iou = [c for c in zp.columns if c.startswith("iou_")]
+    return {
+        "xy_partition_mean_iou": round(
+            float(np.nanmean(xy[xy_iou].values)) * 100, 1),
+        "z_partition_mean_iou": round(
+            float(np.nanmean(zp[z_iou].values)) * 100, 1),
+    }
 
 
 def detection_f1_from_pointwise(pointwise_npz: str) -> dict:
