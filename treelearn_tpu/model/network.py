@@ -56,14 +56,16 @@ class SpansOverflow(RuntimeError):
 
 
 def check_capacity(output, voxel_capacity: int, num_blocks: int,
-                   context: str = "") -> None:
+                   context: str = "",
+                   level_capacities: Optional[Tuple[int, ...]] = None) -> None:
     """Host-side per-batch guard: compares the model's per-level active-voxel
     counts against the static level capacities (CapacityOverflow) and, for
     the slim zeros-fallback program, the banded span flags (SpansOverflow)."""
     import numpy as np
 
     counts = np.asarray(output["n_voxels_per_level"])
-    caps = default_capacities(voxel_capacity, num_blocks)
+    caps = (tuple(level_capacities) if level_capacities is not None
+            else default_capacities(voxel_capacity, num_blocks))
     for lvl, (n, cap) in enumerate(zip(counts, caps)):
         if int(n) > int(cap):
             raise CapacityOverflow(
@@ -220,6 +222,8 @@ class TreeLearn:
         compute_dtype=jnp.float32,
         fast_conv: Optional[bool] = None,
         materialize_rules: Optional[bool] = None,
+        level_capacities: Optional[Tuple[int, ...]] = None,
+        probe: Optional[str] = None,
     ):
         """Full forward. Returns (output dict, new_state).
 
@@ -247,6 +251,25 @@ class TreeLearn:
             spatial_shape=spatial_shape,
             use_coords=self.use_coords, use_feats=self.use_feats,
         )
+        if probe == "voxelize":
+            # bench decomposition probe: voxelize + v2p only (the token
+            # depends on every output so nothing is dead-code-eliminated)
+            tok = (vb.n_voxels + jnp.sum(vb.voxel_feats)
+                   + jnp.sum(vb.v2p_map == voxel_capacity))
+            return {"probe_token": tok}, {}
+        if probe == "heads":
+            # voxelize + devoxelize-gather + both head MLPs at real shapes,
+            # no U-Net: isolates the non-conv epilogue cost
+            x = (jnp.zeros((voxel_capacity, self.channels), compute_dtype)
+                 + vb.voxel_feats[:, :1])
+            backbone_feats = devoxelize(x, vb.v2p_map)
+            sem, _ = apply_mlp(params["semantic_linear"],
+                               state["semantic_linear"], backbone_feats,
+                               valid, training=False, frozen=True)
+            off, _ = apply_mlp(params["offset_linear"], state["offset_linear"],
+                               backbone_feats, valid, training=False,
+                               frozen=True)
+            return {"probe_token": jnp.sum(sem) + jnp.sum(off)}, {}
 
         if fast_conv is None:
             # default on TPU: the slim zeros-fallback program (executable is
@@ -254,7 +277,17 @@ class TreeLearn:
             # the caller retries with fast_conv=True)
             fast_conv = "zeros" if jax.default_backend() == "tpu" else False
 
-        caps = default_capacities(voxel_capacity, self.num_blocks)
+        if level_capacities is not None:
+            # measured per-level capacities (whole-plot mode: the host counts
+            # active voxels per level exactly via level_voxel_counts_np,
+            # instead of assuming the halve-per-level schedule)
+            assert len(level_capacities) == self.num_blocks, level_capacities
+            assert level_capacities[0] == voxel_capacity, (
+                "level_capacities[0] must equal voxel_capacity (the voxel "
+                f"buffer size): {level_capacities[0]} != {voxel_capacity}")
+            caps = tuple(int(c) for c in level_capacities)
+        else:
+            caps = default_capacities(voxel_capacity, self.num_blocks)
         grid0 = grid_from_sorted_keys(vb.voxel_keys, vb.spatial_shape, vb.n_voxels)
         if materialize_rules is None:
             # only fast_conv=True gradient programs must materialize rules:
@@ -276,6 +309,16 @@ class TreeLearn:
                                   # branch
                                   rule_free=bool(fast_conv)
                                   and not materialize_rules)
+        if probe == "plans":
+            # voxelize + full per-level plan/rulebook build, no convs: the
+            # token touches every level's grid and span tables
+            tok = vb.n_voxels.astype(jnp.int64)
+            for p in plans:
+                tok = tok + p.grid.n_active
+                tok = tok + (jnp.sum(p.subm_rule >= 0, dtype=jnp.int32)
+                             if p.subm_rule is not None
+                             else rd_nnz(p.subm_spans.rd))
+            return {"probe_token": tok}, {}
         x = vb.voxel_feats.astype(compute_dtype)
         new_state = {}
         frozen = lambda name: name in self.fixed_modules  # noqa: E731

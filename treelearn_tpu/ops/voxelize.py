@@ -208,3 +208,42 @@ def voxel_downsample_trace_np(points, voxel_size: float, round_decimals: int = 2
     centroids = centroids[occ_order]
     first_idx = first_idx_sorted[occ_order]
     return centroids, first_idx, inverse
+
+
+def level_voxel_counts_np(xyz, voxel_size: float, spatial_shape,
+                          num_levels: int):
+    """Host-side exact per-level active-voxel counts for one batch element.
+
+    Mirrors the device pipeline bit-for-bit: ``compute_voxel_ijk``'s
+    min-corner float32 grid, clamping to ``spatial_shape``, and the strided
+    k=2 s=2 downsample rule of :func:`treelearn_tpu.ops.sparse.build_downsample`
+    (``out_dim = in_dim // 2``; children whose parent falls outside are
+    dropped).  Whole-plot inference uses this to size per-level capacities
+    exactly instead of assuming the halve-per-level schedule, which
+    under-provisions on sparse occlusion-thinned clouds (hard-mode geometry
+    keeps ~65% of voxels across the first downsample, not 50%).
+    """
+    import numpy as np
+
+    p = np.asarray(xyz, np.float32)
+    shape = np.asarray(spatial_shape, np.int64)
+    ijk = np.floor((p - p.min(axis=0)) / np.float32(voxel_size)).astype(np.int64)
+    ijk = np.clip(ijk, 0, shape - 1)
+
+    def dedup(ijk, shape):
+        keys = (ijk[:, 0] * shape[1] + ijk[:, 1]) * shape[2] + ijk[:, 2]
+        uk = np.unique(keys)
+        x, r = np.divmod(uk, shape[1] * shape[2])
+        y, z = np.divmod(r, shape[2])
+        return np.stack([x, y, z], axis=1)
+
+    cur = dedup(ijk, shape)
+    counts = [len(cur)]
+    for _ in range(1, num_levels):
+        out_shape = shape // 2
+        parent = cur // 2
+        parent = parent[np.all(parent < out_shape, axis=1)]
+        cur = dedup(parent, out_shape)
+        counts.append(len(cur))
+        shape = out_shape
+    return counts
