@@ -107,7 +107,8 @@ def test_get_pointwise_preds_compacted_pipeline(setup):
                               voxel_capacity=4096, timings=tm,
                               need_backbone=False)
     (logits, sem_labels, offsets, off_labels, coords, inst, backbone,
-     in_feats) = res
+     in_feats, point_ids) = res
+    assert point_ids is None  # loader carried no point_ids key
     n_keep = int((inner & valid).sum())
     assert len(logits) == 2 * n_keep
     assert backbone.shape == (2 * n_keep, 0)

@@ -128,6 +128,9 @@ def test_dp_inference_matches_single_device():
                              voxel_capacity=1 << 11,
                              compute_dtype=jnp.float32, mesh=mesh)
     for a, b in zip(single, dp):
+        if a is None or b is None:
+            assert a is b  # point_ids: absent from both paths
+            continue
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
 

@@ -72,6 +72,60 @@ def ensemble(coords: np.ndarray, *value_arrays: np.ndarray,
     return tuple(results)
 
 
+def ensemble_by_id(ids: np.ndarray, *value_arrays: np.ndarray
+                   ) -> Tuple[np.ndarray, ...]:
+    """Group rows by integer point id; mean all value arrays per group.
+
+    The id-plumbed fast path of :func:`ensemble`: when the tile loader
+    threads each point's original-cloud row id through the batch, the
+    ensemble groups by that exact integer instead of quantizing float
+    coordinates — and the id survives into the output, so the later
+    propagate stage is an O(V) scatter instead of a second coordinate join.
+
+    Returns (unique_ids, mean_value_0, ...), rows sorted by id.
+    """
+    ids = np.asarray(ids)
+    order = np.argsort(ids, kind="stable")
+    sk = ids[order]
+    first = np.ones(len(sk), bool)
+    first[1:] = sk[1:] != sk[:-1]
+    n_groups = int(first.sum())
+
+    if n_groups == len(ids):
+        # identity fast path (whole-plot single-pass: every voxel once)
+        results = [sk]
+        for arr in value_arrays:
+            arr = np.asarray(arr)
+            results.append(np.ascontiguousarray(arr[order]).astype(np.float32))
+        return tuple(results)
+
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.append(starts, len(sk))).astype(np.float64)
+    results = [sk[starts]]
+    for arr in value_arrays:
+        arr = np.asarray(arr)
+        flat = arr.reshape(len(arr), -1).astype(np.float64)
+        sums = (np.add.reduceat(flat[order], starts, axis=0) if n_groups
+                else np.zeros((0, flat.shape[1])))
+        mean = (sums / counts[:, None]).astype(np.float32)
+        results.append(mean.reshape((n_groups,) + arr.shape[1:]))
+    return tuple(results)
+
+
+def ensemble_named_by_id(ids, coords, semantic_scores, semantic_labels,
+                         offset_predictions, offset_labels, instance_labels,
+                         feats, input_feats):
+    """Id-keyed counterpart of :func:`ensemble_named` (reference ensemble,
+    util/pipeline.py:113-141): returns the surviving ids first, then the
+    averaged arrays with labels cast back to int64."""
+    (uids, c, ss, sl, op, ol, il, f, inf_) = ensemble_by_id(
+        ids, coords, semantic_scores, semantic_labels.astype(np.float64),
+        offset_predictions, offset_labels, instance_labels.astype(np.float64),
+        feats, input_feats)
+    return (uids, c, ss, sl.astype(np.int64).reshape(-1), op, ol,
+            il.astype(np.int64).reshape(-1), f, inf_)
+
+
 def ensemble_named(coords, semantic_scores, semantic_labels, offset_predictions,
                    offset_labels, instance_labels, feats, input_feats):
     """Signature-parity wrapper (reference util/pipeline.py:113): labels are

@@ -123,10 +123,12 @@ def _inner_cap_bucket(count: int, n: int) -> int:
 def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int,
                         compute_dtype=jnp.float32, logger=None,
                         timings: Optional[dict] = None, mesh=None,
-                        need_backbone: bool = True):
+                        need_backbone: bool = True, level_capacities=None):
     """Returns numpy arrays (semantic_logits, semantic_labels, offset_preds,
-    offset_labels, coords, instance_labels, backbone_feats, input_feats) over
-    all inner-mask points of all tiles.
+    offset_labels, coords, instance_labels, backbone_feats, input_feats,
+    point_ids) over all inner-mask points of all tiles.  ``point_ids`` are
+    the integer original-cloud row ids threaded through by id-aware loaders
+    (pipeline/streaming.py), or None when the loader doesn't provide them.
 
     If ``timings`` is a dict it is filled with {"compile_s", "device_s",
     "points", "flops_per_step", "steps"} for the bench's MFU report.
@@ -203,7 +205,7 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
                 model, batch_size=batch["batch_size"],
                 voxel_capacity=voxel_capacity, compute_dtype=compute_dtype,
                 inner_capacity=inner_cap, need_backbone=need_backbone,
-                fast_conv=True)
+                fast_conv=True, level_capacities=level_capacities)
         jbatch = {k: jax.device_put(np.asarray(batch[k]))
                   for k in _MODEL_INPUT_KEYS}
         return fallback_cache[key](params, state, jbatch)
@@ -218,7 +220,8 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
                                           need_backbone, model.channels)
         try:
             check_capacity(output, voxel_capacity, model.num_blocks,
-                           context="inference batch: ")
+                           context="inference batch: ",
+                           level_capacities=level_capacities)
         except SpansOverflow:
             output = _rerun_with_fallback(batch, inner_cap)
         counts = np.asarray(output["n_voxels_per_level"])
@@ -262,6 +265,11 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         outs["coords"].append(coords)
         outs["instance_labels"].append(np.asarray(batch["instance_labels"])[sel])
         outs["input_feats"].append(np.asarray(batch["input_feats"])[sel])
+        if "point_ids" in batch:
+            # original-cloud row ids (host-only key, never shipped to the
+            # device): lets the caller ensemble/propagate by integer id
+            outs.setdefault("point_ids", []).append(
+                np.asarray(batch["point_ids"])[sel])
         _tlog(f"harvest took {time.time()-_th:.2f}s")
 
     if mesh is not None:
@@ -308,7 +316,8 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         cat = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
         return (cat["semantic_prediction_logits"], cat["semantic_labels"],
                 cat["offset_predictions"], cat["offset_labels"], cat["coords"],
-                cat["instance_labels"], cat["backbone_feats"], cat["input_feats"])
+                cat["instance_labels"], cat["backbone_feats"],
+                cat["input_feats"], cat.get("point_ids"))
 
     pending = None  # (output_device, host_batch, inner_cap)
     last_dispatch = None  # (eval_step, jbatch) for the pure-step timing
@@ -316,7 +325,8 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         _tlog(f"batch arrived +{time.time()-_t0:.2f}s")
         n = batch["coords"].shape[0]
         inner_cap = _inner_cap_bucket(_inner_count(batch), n)
-        key = (model.config_key(), voxel_capacity, str(compute_dtype),
+        key = (model.config_key(), voxel_capacity, level_capacities,
+               str(compute_dtype),
                need_backbone, n, batch["batch_size"], inner_cap)
         if key not in step_cache:
             if logger:
@@ -326,7 +336,8 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
                                   voxel_capacity=voxel_capacity,
                                   compute_dtype=compute_dtype,
                                   inner_capacity=inner_cap,
-                                  need_backbone=need_backbone)
+                                  need_backbone=need_backbone,
+                                  level_capacities=level_capacities)
             # deliberately NOT step.lower(...).compile(): in jax 0.9, AOT
             # lowering a program whose trace closed over concrete device
             # arrays (hoisted constants) poisons the jit's executable cache —
@@ -390,4 +401,5 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
     cat = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
     return (cat["semantic_prediction_logits"], cat["semantic_labels"],
             cat["offset_predictions"], cat["offset_labels"], cat["coords"],
-            cat["instance_labels"], cat["backbone_feats"], cat["input_feats"])
+            cat["instance_labels"], cat["backbone_feats"], cat["input_feats"],
+            cat.get("point_ids"))

@@ -23,7 +23,7 @@ from ..data.dataset import TreeDataset, TreeLoader
 from ..io.pointcloud import load_data, save_data
 from ..logging_utils import get_root_logger
 from ..model import TreeLearn, load_checkpoint
-from .ensemble import ensemble_named, propagate_by_key
+from .ensemble import ensemble_named, ensemble_named_by_id, propagate_by_key
 from .hull import HullRaster
 from .inference import get_pointwise_preds
 from .instances import (
@@ -34,6 +34,7 @@ from .instances import (
     propagate_preds,
 )
 from .tiles import generate_tiles
+from ..utils.timing import substage
 
 TREE_CLASS_IN_DATASET = 0
 NON_TREES_LABEL_IN_GROUPING = 0
@@ -215,6 +216,21 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
             model = TreeLearn(**model_cfg)
             voxel_capacity_run = _pow2(max(len(vox_pts),
                                            int(config.get("voxel_capacity", 1 << 14))))
+            # measured per-level capacities: the halve-per-level default
+            # schedule under-provisions on occlusion-thinned clouds (a
+            # sparse plot can keep ~65% of voxels across a downsample, not
+            # 50%); count the exact per-level active sets on the host (ms)
+            # and bucket each to pow2 so similar plots share one program
+            from ..ops.voxelize import level_voxel_counts_np
+
+            lvl_counts = level_voxel_counts_np(
+                vox_pts, vs, ss, int(config.model.get("num_blocks", 7)))
+            # 2% headroom: the host mirrors the device's float32 grid math,
+            # but fused XLA rounding may differ on boundary points
+            level_caps = tuple(
+                min(max(_pow2(int(c * 1.02)), 512), voxel_capacity_run)
+                for c in lvl_counts)
+            level_caps = (voxel_capacity_run,) + level_caps[1:]
             loader = stream.whole_plot_batches(min_bucket=voxel_capacity_run)
         else:
             # one shape bucket = one XLA compilation; dead-tile skipping in
@@ -229,8 +245,10 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
                             training=False)
     compute_dtype = jnp.bfloat16 if config.get("fp16") else jnp.float32
     voxel_capacity = int(config.get("voxel_capacity", 1 << 20))
+    level_capacities = None
     if streaming and use_wp:
         voxel_capacity = voxel_capacity_run
+        level_capacities = level_caps
     mesh = None
     if config.get("dist") and len(jax.devices()) > 1:
         from ..parallel import make_mesh
@@ -241,6 +259,7 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
     # dump; skipping their D2H transfer dominates tunneled-device wall time
     pointwise = get_pointwise_preds(model, params, state, loader,
                                     voxel_capacity=voxel_capacity,
+                                    level_capacities=level_capacities,
                                     compute_dtype=compute_dtype, logger=logger,
                                     timings=model_timings, mesh=mesh,
                                     need_backbone=bool(
@@ -252,14 +271,27 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
     _last[0] += model_timings.get("timing_rerun_s", 0.0)
     _stage("inference")
     (semantic_prediction_logits, semantic_labels, offset_predictions,
-     offset_labels, coords, instance_labels, backbone_feats, input_feats) = pointwise
+     offset_labels, coords, instance_labels, backbone_feats, input_feats,
+     point_ids) = pointwise
 
     # ensemble overlapping predictions
     logger.info(f"{plot_name}: #################### ensembling predictions ####################")
-    (coords, semantic_prediction_logits, semantic_labels, offset_predictions,
-     offset_labels, instance_labels, backbone_feats, input_feats) = ensemble_named(
-        coords, semantic_prediction_logits, semantic_labels, offset_predictions,
-        offset_labels, instance_labels, backbone_feats, input_feats)
+    if point_ids is not None:
+        # id-plumbed path (streaming loaders): group by the integer
+        # original-cloud row id each point carried through inference — no
+        # coordinate quantization, and the surviving ids turn the later
+        # propagate stage into an O(V) scatter instead of a second join
+        (point_ids, coords, semantic_prediction_logits, semantic_labels,
+         offset_predictions, offset_labels, instance_labels, backbone_feats,
+         input_feats) = ensemble_named_by_id(
+            point_ids, coords, semantic_prediction_logits, semantic_labels,
+            offset_predictions, offset_labels, instance_labels,
+            backbone_feats, input_feats)
+    else:
+        (coords, semantic_prediction_logits, semantic_labels, offset_predictions,
+         offset_labels, instance_labels, backbone_feats, input_feats) = ensemble_named(
+            coords, semantic_prediction_logits, semantic_labels, offset_predictions,
+            offset_labels, instance_labels, backbone_feats, input_feats)
     _stage("ensemble")
 
     # hull for outer removal
@@ -301,22 +333,24 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
         _savez = (np.savez_compressed
                   if config.save_cfg.get("compress_pointwise", False)
                   else np.savez)
-        _savez(
-            osp.join(pointwise_dir, "pointwise_results.npz"),
-            coords=coords, offset_predictions=offset_predictions,
-            offset_labels=offset_labels,
-            semantic_prediction_logits=semantic_prediction_logits,
-            semantic_labels=semantic_labels, instance_labels=instance_labels,
-            backbone_feats=backbone_feats, input_feats=input_feats,
-            instance_preds=instance_preds,
-            instance_preds_after_initial_clustering=instance_preds_initial,
-            **({"masks_inner_coords": masks_inner_coords}
-               if masks_inner_coords is not None else {}),
-        )
+        with substage("pointwise_npz", logger):
+            _savez(
+                osp.join(pointwise_dir, "pointwise_results.npz"),
+                coords=coords, offset_predictions=offset_predictions,
+                offset_labels=offset_labels,
+                semantic_prediction_logits=semantic_prediction_logits,
+                semantic_labels=semantic_labels, instance_labels=instance_labels,
+                backbone_feats=backbone_feats, input_feats=input_feats,
+                instance_preds=instance_preds,
+                instance_preds_after_initial_clustering=instance_preds_initial,
+                **({"masks_inner_coords": masks_inner_coords}
+                   if masks_inner_coords is not None else {}),
+            )
         shifted = coords + offset_predictions
         keep = instance_preds != NON_TREES_LABEL_IN_GROUPING
-        save_data(np.hstack([shifted[keep], instance_preds[keep][:, None]]),
-                  "las", "cluster_coords", pointwise_dir)
+        with substage("cluster_coords_las", logger):
+            save_data(np.hstack([shifted[keep], instance_preds[keep][:, None]]),
+                      "las", "cluster_coords", pointwise_dir)
         _stage("save_pointwise")
 
     # remove outer points
@@ -327,6 +361,8 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
             coords[m], semantic_prediction_logits[m], semantic_labels[m],
             offset_predictions[m], offset_labels[m], instance_labels[m],
             instance_preds[m], input_feats[m])
+        if point_ids is not None:
+            point_ids = point_ids[m]
         nt = instance_preds != NON_TREES_LABEL_IN_GROUPING
         if nt.any():
             instance_preds[nt], _ = make_labels_consecutive(instance_preds[nt], start_num=1)
@@ -359,19 +395,37 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
         # memory (streaming path) — reloading their npz files cost 1-6 s of
         # host time per plot
         coords_to_return = centered_pts
-        trace = np.load(osp.join(voxelized_dir, f"{plot_name}_centered_trace.npz"))
+        with substage("trace_load", logger):
+            trace = np.load(osp.join(voxelized_dir, f"{plot_name}_centered_trace.npz"))
+            trace_inverse = trace["inverse"]
         vox_xyz = (vox_pts.astype(np.float32) if streaming else load_data(
             osp.join(voxelized_dir, f"{plot_name}_centered.npz"))[:, :3])
-        vox_preds, not_found_vox = propagate_by_key(coords, instance_preds,
-                                                    vox_xyz)
-        preds_to_return = vox_preds[trace["inverse"]]
-        not_yet_propagated = not_found_vox[trace["inverse"]]
+        if point_ids is not None:
+            # ids ARE voxel-cloud rows: the join is a pure scatter
+            with substage("propagate_scatter", logger):
+                vox_preds = np.full(len(vox_xyz), -1, np.int64)
+                vox_preds[point_ids] = instance_preds
+                not_found_vox = np.ones(len(vox_xyz), bool)
+                not_found_vox[point_ids] = False
+        else:
+            with substage("propagate_by_key", logger):
+                vox_preds, not_found_vox = propagate_by_key(
+                    coords, instance_preds, vox_xyz)
+        with substage("trace_inverse_gather", logger):
+            preds_to_return = vox_preds[trace_inverse]
+            not_yet_propagated = not_found_vox[trace_inverse]
     elif return_type == "voxelized":
         logger.info(f"{plot_name}: propagating predictions to voxelized points")
         coords_to_return = load_data(
             osp.join(voxelized_dir, f"{plot_name}_centered.npz"))[:, :3]
-        preds_to_return, not_yet_propagated = propagate_by_key(
-            coords, instance_preds, coords_to_return)
+        if point_ids is not None:
+            preds_to_return = np.full(len(coords_to_return), -1, np.int64)
+            preds_to_return[point_ids] = instance_preds
+            not_yet_propagated = np.ones(len(coords_to_return), bool)
+            not_yet_propagated[point_ids] = False
+        else:
+            preds_to_return, not_yet_propagated = propagate_by_key(
+                coords, instance_preds, coords_to_return)
     else:  # 'voxelized_and_filtered'
         coords_to_return = coords
         preds_to_return = instance_preds
@@ -387,20 +441,25 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
         not_yet_propagated = not_yet_propagated[keep]
 
     if not_yet_propagated.any():
-        preds_to_return = np.asarray(preds_to_return)
-        preds_to_return[not_yet_propagated] = propagate_preds(
-            coords, instance_preds, coords_to_return[not_yet_propagated], 5)
+        with substage(f"propagate_5nn_leftovers({int(not_yet_propagated.sum())})",
+                      logger):
+            preds_to_return = np.asarray(preds_to_return)
+            preds_to_return[not_yet_propagated] = propagate_preds(
+                coords, instance_preds, coords_to_return[not_yet_propagated], 5)
 
-    coords_to_return = coords_to_return.astype(np.float64) + xyz_mean
+    with substage("decenter_f64", logger):
+        coords_to_return = coords_to_return.astype(np.float64) + xyz_mean
     _stage("propagate")
 
     # save
     logger.info(f"{plot_name}: #################### Saving ####################")
     full_dir = osp.join(results_dir, "full_forest")
     os.makedirs(full_dir, exist_ok=True)
-    out = np.hstack([coords_to_return, np.asarray(preds_to_return)[:, None]])
+    with substage("hstack_out", logger):
+        out = np.hstack([coords_to_return, np.asarray(preds_to_return)[:, None]])
     for save_format in config.save_cfg.save_formats:
-        save_data(out, save_format, plot_name, full_dir)
+        with substage(f"save_data[{save_format}]", logger):
+            save_data(out, save_format, plot_name, full_dir)
     if config.save_cfg.save_treewise:
         trees_dir = osp.join(results_dir, "individual_trees")
         os.makedirs(trees_dir, exist_ok=True)

@@ -55,24 +55,33 @@ class TileStream:
     def __len__(self):
         return len(self.inner)
 
-    def _cells_rows(self, xmin, xmax, ymin, ymax) -> np.ndarray:
-        """Concatenate the sorted-row ranges of all cells intersecting the box."""
+    def _cells_rows(self, xmin, xmax, ymin, ymax):
+        """Concatenate the sorted-row ranges of all cells intersecting the box.
+
+        Returns (data, sorted_row_indices): the latter feeds the integer
+        point-id plumbing (``self.order[rows]`` = rows of the ORIGINAL input
+        cloud), which downstream replaces every quantized-coordinate re-join
+        with an O(N) gather/scatter.
+        """
         cx0 = max(int((xmin - self.x0) // self.cell), 0)
         cx1 = min(int((xmax - self.x0) // self.cell), self.nx - 1)
         cy0 = max(int((ymin - self.y0) // self.cell), 0)
         cy1 = min(int((ymax - self.y0) // self.cell), self.ny - 1)
+        empty = (np.empty((0, self.sorted_data.shape[1])),
+                 np.empty(0, np.int64))
         if cx1 < cx0 or cy1 < cy0:
-            return np.empty((0, self.sorted_data.shape[1]))
-        parts = []
+            return empty
+        parts, rows = [], []
         for ix in range(cx0, cx1 + 1):
             base = ix * self.ny
             lo = self.starts[base + cy0]
             hi = self.starts[base + cy1 + 1]
             if hi > lo:
                 parts.append(self.sorted_data[lo:hi])
+                rows.append(np.arange(lo, hi, dtype=np.int64))
         if not parts:
-            return np.empty((0, self.sorted_data.shape[1]))
-        return np.concatenate(parts, axis=0)
+            return empty
+        return np.concatenate(parts, axis=0), np.concatenate(rows)
 
     def tile(self, i: int) -> Optional[Dict[str, np.ndarray]]:
         """Cut tile i: outer-box points, centered on the inner square.
@@ -82,12 +91,13 @@ class TileStream:
         """
         xi0, xi1, yi0, yi1 = self.inner[i]
         xo0, xo1, yo0, yo1 = self.outer[i]
-        box = self._cells_rows(xo0, xo1, yo0, yo1)
+        box, box_rows = self._cells_rows(xo0, xo1, yo0, yo1)
         if len(box) == 0:
             return None
         m = ((box[:, 0] >= xo0) & (box[:, 0] <= xo1)
              & (box[:, 1] >= yo0) & (box[:, 1] <= yo1))
         chunk = box[m]
+        chunk_rows = box_rows[m]
         if len(chunk) == 0:
             return None
         mi = ((chunk[:, 0] >= xi0) & (chunk[:, 0] < xi1)
@@ -105,6 +115,8 @@ class TileStream:
             "instance_label": chunk[:, 3].astype(np.int64),
             "feat": chunk[:, 4:].astype(np.float32),
             "center": np.array([cx, cy, 0.0]),
+            # rows of the ORIGINAL (pre-sort) input cloud for each point
+            "point_ids": self.order[chunk_rows],
         }
 
     def whole_plot_batches(self, min_bucket: int = 1 << 14
@@ -140,6 +152,9 @@ class TileStream:
             "masks_inner": ones,
             "masks_off": (mask_not_ignore & (semantic_label != 1) & mask_valid),
             "masks_sem": mask_not_ignore,
+            # original-cloud row of each (sorted) point: downstream stages
+            # propagate by this integer id instead of re-joining float coords
+            "point_ids": self.order.astype(np.int64),
         }], min_bucket=min_bucket)
 
     def batches(self, batch_size: int = 1, inner_square_edge_length: float = None,
@@ -170,6 +185,7 @@ class TileStream:
                 "masks_off": (mask_inner & mask_not_ignore
                               & (semantic_label != 1) & mask_valid),
                 "masks_sem": mask_inner & mask_not_ignore,
+                "point_ids": t["point_ids"],
             })
             if len(samples) == batch_size:
                 yield collate_padded(samples, min_bucket=min_bucket)
