@@ -115,6 +115,23 @@ def main():
                "gt_forest_path": f"{WORK}/plot/forest/heldout.npz"})
     sh("evaluate", [py, "tools/evaluate.py", "--config", c5,
                     "--work_dir", f"{WORK}/eval"])
+
+    # the evaluation notebook must execute headless on the artifacts the
+    # toolchain just produced (VERDICT r2 item 10)
+    env = dict(os.environ, FIVE_STAGE_DIR=WORK, MPLBACKEND="Agg")
+    t0 = time.time()
+    p = subprocess.run(
+        [py, "-m", "jupyter", "nbconvert", "--to", "notebook", "--execute",
+         "--output", f"{WORK}/TreeLearn_Evaluation_TPU_executed.ipynb",
+         os.path.join(REPO, "notebooks", "TreeLearn_Evaluation_TPU.ipynb")],
+        cwd=REPO, capture_output=True, text=True, timeout=600, env=env)
+    ok = p.returncode == 0
+    print(f"[{'PASS' if ok else 'FAIL'} {time.time()-t0:6.1f}s] eval notebook",
+          flush=True)
+    if not ok:
+        print(p.stdout[-1500:])
+        print(p.stderr[-3000:])
+        sys.exit(1)
     print("FIVE-STAGE E2E: ALL PASS", flush=True)
 
 

@@ -103,6 +103,17 @@ def evaluate(config, config_path=None):
     save_data(np.hstack([gt_coords, preds_original[:, None]]), "las",
               "pred_forest_propagated_to_gt_pointcloud", base_dir)
 
+    # failure correspondences in ORIGINAL label space (what the evaluation
+    # notebook browses; key names per reference evaluate.py:122-138):
+    # commission errors = non-matched preds whose best gt passed the precision
+    # gate, paired with that gt; omission errors = non-matched gts paired with
+    # the undersegmenting pred and the gt tree that pred was matched to
+    def _map_or_nan(mapping, values):
+        return np.array([np.nan if (isinstance(v, float) and np.isnan(v))
+                         else mapping[int(v)] for v in values], dtype=float)
+
+    nmp_pairs = [(p, g) for p, g in zip(non_matched_preds, nmp_gt)
+                 if not np.isnan(g)]
     results = {
         "detection_results": {
             **summary,
@@ -110,6 +121,14 @@ def evaluate(config, config_path=None):
             "matched_preds": np.array([mapping_pred[p] for p in matched_preds]),
             "non_matched_gts": np.array([mapping_gt[g] for g in non_matched_gts]),
             "non_matched_preds": np.array([mapping_pred[p] for p in non_matched_preds]),
+            "non_matched_preds_filtered": np.array(
+                [mapping_pred[p] for p, _ in nmp_pairs], dtype=float),
+            "non_matched_preds_corresponding_gt_filtered": np.array(
+                [mapping_gt[int(g)] for _, g in nmp_pairs], dtype=float),
+            "non_matched_gts_corresponding_pred": _map_or_nan(
+                mapping_pred, nmg_pred),
+            "non_matched_gts_corresponding_other_tree": _map_or_nan(
+                mapping_gt, nmg_other),
         },
         "segmentation_results": {
             "precision": round(seg["prec"], 1),
