@@ -124,3 +124,42 @@ def test_spans_overflow_noops_the_update(ok):
         assert float(new_s["s"]) == 0.0
         np.testing.assert_array_equal(
             np.asarray(jax.tree_util.tree_leaves(new_o)[1]), mu0)
+
+
+def test_capacity_overflow_skips_batch():
+    """A CapacityOverflow in train_epoch must discard the overflowed step's
+    update (it ran on a truncated voxel set) and continue with the next
+    batch — the training analog of the reference's bad-tile skip
+    (reference util/pipeline.py:91-97)."""
+    import logging
+
+    from treelearn_tpu.config import ConfigDict
+    from tools.train import train_epoch
+
+    calls = {"n": 0}
+
+    def step(params, state, opt_state, jbatch):
+        calls["n"] += 1
+        overflow = calls["n"] == 2  # second batch blows level 0
+        counts = np.array([999 if overflow else 3], np.int32)
+        return (params + 1, state, opt_state, 0.1,
+                {"semantic_loss": jnp.float32(0.1),
+                 "_n_voxels_per_level": counts})
+
+    config = ConfigDict({
+        "examples_per_epoch": 3, "epochs": 1, "voxel_capacity": 64,
+        "model": ConfigDict({"num_blocks": 1}),
+    })
+    loader = [{"n_samples": 1, "x": np.zeros(1, np.float32)}
+              for _ in range(3)]
+
+    class _W:
+        def add_scalar(self, *a):
+            pass
+
+    params, state, opt_state = train_epoch(
+        config, 1, step, jnp.float32(0.0), None, None, loader,
+        logging.getLogger("tl_test"), _W())
+    # 3 batches ran; batch 2's (+1) was rolled back
+    assert calls["n"] == 3
+    assert float(params) == 2.0

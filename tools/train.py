@@ -33,6 +33,7 @@ def train_epoch(config, epoch, train_step, params, state, opt_state,
             break
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                   if isinstance(v, np.ndarray)}
+        prev = (params, state, opt_state)
         params, state, opt_state, loss, loss_dict = train_step(
             params, state, opt_state, jbatch)
         spans_ok = loss_dict.pop("_spans_ok", None)
@@ -49,12 +50,26 @@ def train_epoch(config, epoch, train_step, params, state, opt_state,
             loss_dict.pop("_spans_ok", None)
         counts = loss_dict.pop("_n_voxels_per_level", None)
         if counts is not None:
-            from treelearn_tpu.model.network import check_capacity
+            from treelearn_tpu.model.network import (CapacityOverflow,
+                                                     check_capacity)
 
-            check_capacity({"n_voxels_per_level": counts},
-                           config.get("voxel_capacity", 1 << 19),
-                           config.model.num_blocks,
-                           context=f"train epoch {epoch} batch {i}: ")
+            lvl_caps = config.get("level_capacities")
+            try:
+                check_capacity({"n_voxels_per_level": counts},
+                               config.get("voxel_capacity", 1 << 19),
+                               config.model.num_blocks,
+                               context=f"train epoch {epoch} batch {i}: ",
+                               level_capacities=(tuple(int(c) for c in lvl_caps)
+                                                 if lvl_caps else None))
+            except CapacityOverflow as e:
+                # The step already ran on a truncated voxel set, so its
+                # update is discarded and the crop skipped — the training
+                # analog of the reference's bad-tile skip (reference
+                # util/pipeline.py:91-97 "reach zero!!!" handler).
+                params, state, opt_state = prev
+                logger.warning(f"{e}; skipping batch (update discarded)")
+                seen += batch["n_samples"]
+                continue
         for k, v in loss_dict.items():
             losses[k].append(float(v))
         seen += batch["n_samples"]
@@ -172,6 +187,12 @@ def main():
             logger.info("restored optimizer state from checkpoint")
     compute_dtype = jnp.bfloat16 if config.get("fp16") else jnp.float32
     voxel_capacity = int(config.get("voxel_capacity", 1 << 19))
+    # optional per-level capacity schedule (config key `level_capacities`):
+    # the halve-per-level default under-provisions on dense synthetic crops
+    # (level 1 can keep ~57% of level-0 voxels); level_capacities[0] must
+    # equal voxel_capacity
+    lvl_caps = config.get("level_capacities")
+    level_capacities = (tuple(int(c) for c in lvl_caps) if lvl_caps else None)
     fallback_cache = {}
     if mesh is not None:
         from treelearn_tpu.parallel import make_dp_train_step
@@ -193,7 +214,8 @@ def main():
         train_step = make_train_step(model, optimizer,
                                      batch_size=config.dataloader.train.batch_size,
                                      voxel_capacity=voxel_capacity,
-                                     compute_dtype=compute_dtype)
+                                     compute_dtype=compute_dtype,
+                                     level_capacities=level_capacities)
 
         def fallback_step():
             if "step" not in fallback_cache:
@@ -201,7 +223,8 @@ def main():
                     model, optimizer,
                     batch_size=config.dataloader.train.batch_size,
                     voxel_capacity=voxel_capacity,
-                    compute_dtype=compute_dtype, fast_conv=True)
+                    compute_dtype=compute_dtype, fast_conv=True,
+                    level_capacities=level_capacities)
             return fallback_cache["step"]
     # fast_conv=True: validation must be exact without the spans-ok retry
     # protocol (the slim "zeros" program needs its caller to re-dispatch on
@@ -209,7 +232,8 @@ def main():
     eval_step = make_eval_step(
         model, batch_size=config.dataloader.test.batch_size,
         voxel_capacity=voxel_capacity,
-        fast_conv=True if jax.default_backend() == "tpu" else None)
+        fast_conv=True if jax.default_backend() == "tpu" else None,
+        level_capacities=level_capacities)
 
     # profiling hook (SURVEY §5.1): TL_PROFILE=<dir> traces one epoch
     # (TL_PROFILE_EPOCH, default = the first trained epoch) with jax.profiler

@@ -88,7 +88,8 @@ def loss_from_output(output, batch):
 
 
 def make_train_step(model, optimizer, *, batch_size: int, voxel_capacity: int,
-                    compute_dtype=jnp.bfloat16, fast_conv=None):
+                    compute_dtype=jnp.bfloat16, fast_conv=None,
+                    level_capacities=None):
     """One jitted optimization step over a padded flat batch.
 
     ``fast_conv`` defaults to the slim ``"zeros"`` program on TPU: rulebooks
@@ -113,7 +114,7 @@ def make_train_step(model, optimizer, *, batch_size: int, voxel_capacity: int,
                 batch["batch_ids"], batch["valid"],
                 batch_size=batch_size, voxel_capacity=voxel_capacity,
                 training=True, compute_dtype=compute_dtype,
-                fast_conv=fast_conv,
+                fast_conv=fast_conv, level_capacities=level_capacities,
             )
             loss, loss_dict = loss_from_output(output, batch)
             # reserved keys: host-side overflow guards, popped before logging
