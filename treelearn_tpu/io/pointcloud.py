@@ -85,27 +85,38 @@ def save_data(data: np.ndarray, save_format: str, save_name: str, save_folder: s
         assert data.shape[1] == 4
         points = data[:, :3]
         labels = data[:, 3]
-        classification = np.ones_like(labels)
-        classification[labels == 0] = 2  # terrain (For-Instance convention)
-        classification[labels != 0] = 4  # stem (For-Instance convention)
+        non_tree = labels == 0
+        classification = np.full(len(labels), 4, np.uint8)  # stem
+        classification[non_tree] = 2  # terrain (For-Instance convention)
 
         offsets = points.mean(0) if use_offset else (0.0, 0.0, 0.0)
 
         from ..utils.timing import substage
 
         with substage(f"save_data palette ({save_name})"):
-            unique_labels, inv = np.unique(labels, return_inverse=True)
-            palette = np.array([generate_random_color() for _ in unique_labels],
-                               dtype=np.uint16).reshape(len(unique_labels), 3)
-            colors = palette[inv]
-            colors[classification == 2] = [0, 0, 0]
+            # tree ids are small ints: index a dense palette over
+            # [min, max] directly instead of np.unique's 10M-row sort
+            # (measured 7.7 s at 10M points)
+            ilab = labels.astype(np.int64)
+            lmin, lmax = (int(ilab.min()), int(ilab.max())) if len(ilab) else (0, 0)
+            span = lmax - lmin + 1
+            if span <= 4 * len(ilab) + 1024:
+                palette = np.array([generate_random_color() for _ in range(span)],
+                                   dtype=np.uint16).reshape(span, 3)
+                colors = palette[ilab - lmin]
+            else:  # pathological sparse ids: fall back to the exact route
+                unique_labels, inv = np.unique(ilab, return_inverse=True)
+                palette = np.array([generate_random_color() for _ in unique_labels],
+                                   dtype=np.uint16).reshape(len(unique_labels), 3)
+                colors = palette[inv]
+            colors[non_tree] = [0, 0, 0]
 
         save_path = osp.join(save_folder, f"{save_name}.{save_format}")
         with substage(f"write_las ({save_name}, {len(points)} pts)"):
             write_las(
                 save_path,
                 xyz=points,
-                classification=classification.astype(np.uint8),
+                classification=classification,
                 rgb=colors,
                 extra={"treeID": labels.astype(np.uint32)},
                 offsets=offsets,
