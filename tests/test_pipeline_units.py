@@ -128,3 +128,24 @@ def test_get_instances_with_oracle_offsets():
     for p, gs in pairs.items():
         assert len(gs) == 1, f"pred {p} spans gt instances {gs}"
     assert len(pairs) == 8
+
+
+def test_fill_occupancy_holes_matches_per_cell_loop():
+    """The integral-image hole fill must reproduce the per-cell edge-clipped
+    window rule exactly (reference data_preparation.py:571-586)."""
+    from treelearn_tpu.pipeline.tiles import fill_occupancy_holes
+
+    rng = np.random.default_rng(7)
+    for k, thresh in [(1, 0.5), (2, 0.3), (3, 0.8)]:
+        occ = (rng.random((23, 17)) < 0.35).astype(float)
+        x_dim, y_dim = occ.shape
+        expect = np.empty_like(occ)
+        for i in range(x_dim):
+            for j in range(y_dim):
+                li, ui = max(i - k, 0), min(i + k + 1, x_dim)
+                lj, uj = max(j - k, 0), min(j + k + 1, y_dim)
+                window = occ[li:ui, lj:uj]
+                expect[i, j] = occ[i, j] or (window.sum() / window.size
+                                             >= thresh)
+        got = fill_occupancy_holes(occ, k, thresh)
+        np.testing.assert_array_equal(got, expect)

@@ -76,10 +76,13 @@ def test_rule_free_training_grad_parity(monkeypatch):
 
 
 class _StubModel:
-    """model.apply stand-in emitting a controllable spans_ok flag."""
+    """model.apply stand-in emitting controllable spans_ok / voxel counts."""
 
-    def __init__(self, spans_ok: bool):
+    num_blocks = 1
+
+    def __init__(self, spans_ok: bool = True, n_voxels: int = 1):
         self.spans_ok = spans_ok
+        self.n_voxels = n_voxels
 
     def apply(self, p, state, coords, feats, bids, valid, **kw):
         # asymmetric logit columns so the CE gradient wrt w is nonzero
@@ -87,10 +90,20 @@ class _StubModel:
         out = {
             "semantic_prediction_logits": pred,
             "offset_predictions": jnp.zeros((coords.shape[0], 3)),
-            "n_voxels_per_level": jnp.array([1], jnp.int32),
+            "n_voxels_per_level": jnp.array([self.n_voxels], jnp.int32),
             "spans_ok": jnp.array([self.spans_ok]),
         }
         return out, {"s": state["s"] + 1.0}
+
+
+def _toy_batch(n=8):
+    return {
+        "coords": jnp.ones((n, 3)), "input_feats": jnp.ones((n, 1)),
+        "batch_ids": jnp.zeros(n, jnp.int32), "valid": jnp.ones(n, bool),
+        "masks_sem": jnp.ones(n, bool), "masks_off": jnp.ones(n, bool),
+        "semantic_labels": jnp.zeros(n, jnp.int32),
+        "offset_labels": jnp.zeros((n, 3)),
+    }
 
 
 @pytest.mark.parametrize("ok", [True, False])
@@ -105,14 +118,7 @@ def test_spans_overflow_noops_the_update(ok):
     state = {"s": jnp.zeros(())}
     opt_state = opt.init(params)
     mu0 = np.asarray(jax.tree_util.tree_leaves(opt_state)[1])
-    n = 8
-    batch = {
-        "coords": jnp.ones((n, 3)), "input_feats": jnp.ones((n, 1)),
-        "batch_ids": jnp.zeros(n, jnp.int32), "valid": jnp.ones(n, bool),
-        "masks_sem": jnp.ones(n, bool), "masks_off": jnp.ones(n, bool),
-        "semantic_labels": jnp.zeros(n, jnp.int32),
-        "offset_labels": jnp.zeros((n, 3)),
-    }
+    batch = _toy_batch()
     new_p, new_s, new_o, loss, loss_dict = step(params, state, opt_state,
                                                 batch)
     assert bool(np.asarray(loss_dict["_spans_ok"]).all()) == ok
@@ -126,14 +132,39 @@ def test_spans_overflow_noops_the_update(ok):
             np.asarray(jax.tree_util.tree_leaves(new_o)[1]), mu0)
 
 
+@pytest.mark.parametrize("overflow", [True, False])
+def test_capacity_overflow_noops_the_update(overflow):
+    """A capacity overflow must gate the update to a no-op IN-PROGRAM on the
+    real jitted step (with donation active): the forward ran on a truncated
+    voxel set, and the inputs are donated, so a host-side restore of the
+    pre-step references would resurrect deleted buffers on TPU.  The step
+    reports ``_caps_ok`` and leaves params/state/opt_state bit-identical."""
+    model = _StubModel(spans_ok=True, n_voxels=999 if overflow else 3)
+    opt = optax.adam(1e-2)
+    step = make_train_step(model, opt, batch_size=1, voxel_capacity=64,
+                           fast_conv="zeros")
+    params = {"w": jnp.ones(())}
+    state = {"s": jnp.zeros(())}
+    opt_state = opt.init(params)
+    new_p, new_s, new_o, loss, loss_dict = step(params, state, opt_state,
+                                                _toy_batch())
+    assert bool(np.asarray(loss_dict["_caps_ok"])) == (not overflow)
+    if overflow:
+        assert float(new_p["w"]) == 1.0
+        assert float(new_s["s"]) == 0.0
+    else:
+        assert float(new_p["w"]) != 1.0
+        assert float(new_s["s"]) == 1.0
+
+
 def test_capacity_overflow_skips_batch():
-    """A CapacityOverflow in train_epoch must discard the overflowed step's
-    update (it ran on a truncated voxel set) and continue with the next
-    batch — the training analog of the reference's bad-tile skip
-    (reference util/pipeline.py:91-97)."""
+    """train_epoch must skip a batch whose step reports _caps_ok=False (the
+    step's update was a no-op in-program) and continue with the next batch —
+    the training analog of the reference's bad-tile skip (reference
+    util/pipeline.py:91-97).  No host-side rollback: the step's returned
+    params ARE the truth (donation makes pre-step references unusable)."""
     import logging
 
-    from treelearn_tpu.config import ConfigDict
     from tools.train import train_epoch
 
     calls = {"n": 0}
@@ -142,14 +173,17 @@ def test_capacity_overflow_skips_batch():
         calls["n"] += 1
         overflow = calls["n"] == 2  # second batch blows level 0
         counts = np.array([999 if overflow else 3], np.int32)
-        return (params + 1, state, opt_state, 0.1,
+        # the real step no-ops in-program on overflow; mimic that
+        return (params if overflow else params + 1, state, opt_state, 0.1,
                 {"semantic_loss": jnp.float32(0.1),
+                 "_caps_ok": np.bool_(not overflow),
                  "_n_voxels_per_level": counts})
 
-    config = ConfigDict({
-        "examples_per_epoch": 3, "epochs": 1, "voxel_capacity": 64,
-        "model": ConfigDict({"num_blocks": 1}),
-    })
+    class _Cfg(dict):
+        __getattr__ = dict.__getitem__
+
+    config = _Cfg({"examples_per_epoch": 3, "epochs": 1,
+                   "voxel_capacity": 64, "model": _Cfg({"num_blocks": 1})})
     loader = [{"n_samples": 1, "x": np.zeros(1, np.float32)}
               for _ in range(3)]
 
@@ -160,6 +194,6 @@ def test_capacity_overflow_skips_batch():
     params, state, opt_state = train_epoch(
         config, 1, step, jnp.float32(0.0), None, None, loader,
         logging.getLogger("tl_test"), _W())
-    # 3 batches ran; batch 2's (+1) was rolled back
+    # 3 batches ran; batch 2's update was a no-op
     assert calls["n"] == 3
     assert float(params) == 2.0

@@ -33,10 +33,24 @@ def train_epoch(config, epoch, train_step, params, state, opt_state,
             break
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                   if isinstance(v, np.ndarray)}
-        prev = (params, state, opt_state)
         params, state, opt_state, loss, loss_dict = train_step(
             params, state, opt_state, jbatch)
+        caps_ok = loss_dict.pop("_caps_ok", None)
         spans_ok = loss_dict.pop("_spans_ok", None)
+        counts = loss_dict.pop("_n_voxels_per_level", None)
+        if caps_ok is not None and not bool(np.asarray(caps_ok)):
+            # A level overflowed its static voxel capacity: the step ran on a
+            # truncated voxel set, but the update was gated to a NO-OP
+            # in-program (the inputs are donated, so a host-side rollback of
+            # pre-step references would restore deleted buffers).  Skip the
+            # crop — the training analog of the reference's bad-tile skip
+            # (reference util/pipeline.py:91-97 "reach zero!!!" handler).
+            lvl = np.asarray(counts) if counts is not None else "?"
+            logger.warning(f"train epoch {epoch} batch {i}: voxel capacity "
+                           f"overflow (per-level counts {lvl}); skipping "
+                           "batch (update was a no-op in-program)")
+            seen += batch["n_samples"]
+            continue
         if spans_ok is not None and not bool(np.asarray(spans_ok).all()) \
                 and fallback_step is not None:
             # the slim rule-free program overflowed a banded window: its
@@ -48,28 +62,8 @@ def train_epoch(config, epoch, train_step, params, state, opt_state,
             params, state, opt_state, loss, loss_dict = fallback_step()(
                 params, state, opt_state, jbatch)
             loss_dict.pop("_spans_ok", None)
-        counts = loss_dict.pop("_n_voxels_per_level", None)
-        if counts is not None:
-            from treelearn_tpu.model.network import (CapacityOverflow,
-                                                     check_capacity)
-
-            lvl_caps = config.get("level_capacities")
-            try:
-                check_capacity({"n_voxels_per_level": counts},
-                               config.get("voxel_capacity", 1 << 19),
-                               config.model.num_blocks,
-                               context=f"train epoch {epoch} batch {i}: ",
-                               level_capacities=(tuple(int(c) for c in lvl_caps)
-                                                 if lvl_caps else None))
-            except CapacityOverflow as e:
-                # The step already ran on a truncated voxel set, so its
-                # update is discarded and the crop skipped — the training
-                # analog of the reference's bad-tile skip (reference
-                # util/pipeline.py:91-97 "reach zero!!!" handler).
-                params, state, opt_state = prev
-                logger.warning(f"{e}; skipping batch (update discarded)")
-                seen += batch["n_samples"]
-                continue
+            loss_dict.pop("_caps_ok", None)
+            loss_dict.pop("_n_voxels_per_level", None)
         for k, v in loss_dict.items():
             losses[k].append(float(v))
         seen += batch["n_samples"]
@@ -200,7 +194,8 @@ def main():
         train_step, _, _ = make_dp_train_step(
             model, optimizer, mesh,
             batch_size=config.dataloader.train.batch_size,
-            voxel_capacity=voxel_capacity, compute_dtype=compute_dtype)
+            voxel_capacity=voxel_capacity, compute_dtype=compute_dtype,
+            level_capacities=level_capacities)
 
         def fallback_step():
             if "step" not in fallback_cache:
@@ -208,7 +203,8 @@ def main():
                     model, optimizer, mesh,
                     batch_size=config.dataloader.train.batch_size,
                     voxel_capacity=voxel_capacity,
-                    compute_dtype=compute_dtype, fast_conv=True)
+                    compute_dtype=compute_dtype, fast_conv=True,
+                    level_capacities=level_capacities)
             return fallback_cache["step"]
     else:
         train_step = make_train_step(model, optimizer,

@@ -38,7 +38,10 @@ def _native_dir() -> str:
 
 
 def _build_library(src: str, out: str) -> None:
-    cmd = ["g++", "-O2", "-Wall", "-shared", "-fPIC", "-o", out, src]
+    # portable flags only: the cached .so can travel with the image to a
+    # different microarchitecture (-march=native could SIGILL there)
+    cmd = ["g++", "-O3", "-mtune=native", "-funroll-loops", "-Wall",
+           "-shared", "-fPIC", "-o", out, src]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         raise RuntimeError(f"building LASzip codec failed:\n{proc.stderr}")

@@ -100,14 +100,15 @@ def save_data(data: np.ndarray, save_format: str, save_name: str, save_folder: s
             ilab = labels.astype(np.int64)
             lmin, lmax = (int(ilab.min()), int(ilab.max())) if len(ilab) else (0, 0)
             span = lmax - lmin + 1
+            prng = np.random.default_rng()  # palette gen: one vectorized draw
             if span <= 4 * len(ilab) + 1024:
-                palette = np.array([generate_random_color() for _ in range(span)],
-                                   dtype=np.uint16).reshape(span, 3)
+                palette = prng.integers(0, 256, size=(span, 3),
+                                        dtype=np.uint16)
                 colors = palette[ilab - lmin]
             else:  # pathological sparse ids: fall back to the exact route
                 unique_labels, inv = np.unique(ilab, return_inverse=True)
-                palette = np.array([generate_random_color() for _ in unique_labels],
-                                   dtype=np.uint16).reshape(len(unique_labels), 3)
+                palette = prng.integers(0, 256, size=(len(unique_labels), 3),
+                                        dtype=np.uint16)
                 colors = palette[inv]
             colors[non_tree] = [0, 0, 0]
 

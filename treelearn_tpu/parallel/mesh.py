@@ -46,7 +46,8 @@ def shard_batch_arrays(batch: dict, n_shards: int) -> dict:
 
 def make_dp_train_step(model, optimizer, mesh: Mesh, *, batch_size: int,
                        voxel_capacity: int, compute_dtype=jnp.bfloat16,
-                       axis_name: str = "dp", fast_conv=None):
+                       axis_name: str = "dp", fast_conv=None,
+                       level_capacities=None):
     """Data-parallel train step via shard_map over the mesh.
 
     Batch arrays carry a leading device axis (D, P, ...): device d runs the
@@ -58,6 +59,13 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, *, batch_size: int,
     """
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P(axis_name))
+
+    from ..model.network import default_capacities
+
+    caps = jnp.asarray(
+        level_capacities if level_capacities is not None
+        else default_capacities(voxel_capacity, model.num_blocks),
+        dtype=jnp.int32)
 
     def local_loss_terms(params, state, batch):
         output, new_state = model.apply(
@@ -118,13 +126,18 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, *, batch_size: int,
         new_state = jax.lax.pmean(new_state, axis_name)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        # in-program no-op gate on capacity overflow (worst shard) and banded
+        # span overflow — host never rolls back donated buffers (see
+        # make_train_step in train/loop.py for the rationale)
+        ok = jnp.all(loss_dict["_n_voxels_per_level"] <= caps)
+        loss_dict["_caps_ok"] = ok
         if "_spans_ok" in loss_dict:
-            ok = jnp.all(loss_dict["_spans_ok"])
-            keep = lambda new, old: jax.tree.map(  # noqa: E731
-                lambda n, o: jnp.where(ok, n, o), new, old)
-            new_params = keep(new_params, params)
-            new_state = keep(new_state, state)
-            new_opt_state = keep(new_opt_state, opt_state)
+            ok = ok & jnp.all(loss_dict["_spans_ok"])
+        keep = lambda new, old: jax.tree.map(  # noqa: E731
+            lambda n, o: jnp.where(ok, n, o), new, old)
+        new_params = keep(new_params, params)
+        new_state = keep(new_state, state)
+        new_opt_state = keep(new_opt_state, opt_state)
         return new_params, new_state, new_opt_state, loss, loss_dict
 
     sharded_step = jax.shard_map(

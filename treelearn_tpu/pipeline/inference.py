@@ -181,7 +181,8 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
     tm.setdefault("steps", 0)
     tm.setdefault("flops_per_step", 0.0)
 
-    from ..model.network import SpansOverflow, check_capacity
+    from ..model.network import (CapacityOverflow, SpansOverflow,
+                                 check_capacity, default_capacities)
 
     fallback_cache: Dict[tuple, callable] = {}
 
@@ -210,6 +211,40 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
                   for k in _MODEL_INPUT_KEYS}
         return fallback_cache[key](params, state, jbatch)
 
+    def _rerun_with_capacity(batch, inner_cap, counts):
+        """A level's true active-voxel count exceeded its static capacity
+        (possible when the caller tight-sized ``level_capacities`` with small
+        headroom, e.g. whole-plot mode's host-mirrored counts): re-run on a
+        program whose capacities are grown from the TRUE counts (the model
+        reports pre-truncation counts) with 25% headroom, rounded up to 4096
+        multiples to bound compile diversity.  Mirrors the SpansOverflow
+        fallback instead of hard-crashing the run."""
+        grown = [int(np.ceil(int(c) * 1.25 / 4096)) * 4096 for c in counts]
+        base_caps = (level_capacities if level_capacities is not None
+                     else default_capacities(voxel_capacity, model.num_blocks))
+        new_caps = tuple(max(g, int(c)) for g, c in zip(grown, base_caps))
+        new_vcap = new_caps[0]
+        key = ("caps", batch["coords"].shape[0], batch["batch_size"],
+               inner_cap, new_caps)
+        if key not in fallback_cache:
+            if logger:
+                logger.info(f"capacity overflow (counts {list(counts)}): "
+                            f"compiling grown-capacity step {new_caps}")
+            fallback_cache[key] = make_eval_step(
+                model, batch_size=batch["batch_size"],
+                voxel_capacity=new_vcap, compute_dtype=compute_dtype,
+                inner_capacity=inner_cap, need_backbone=need_backbone,
+                fast_conv=True, level_capacities=new_caps)
+        jbatch = {k: jax.device_put(np.asarray(batch[k]))
+                  for k in _MODEL_INPUT_KEYS}
+        output = fallback_cache[key](params, state, jbatch)
+        # grown caps came from true counts + headroom — a second overflow
+        # means the counts themselves are unstable; surface it
+        check_capacity(output, new_vcap, model.num_blocks,
+                       context="inference batch (grown-capacity retry): ",
+                       level_capacities=new_caps)
+        return output
+
     def harvest(output, batch, inner_cap):
         _th = time.time()
         if "preds_f16" in output:
@@ -224,6 +259,9 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
                            level_capacities=level_capacities)
         except SpansOverflow:
             output = _rerun_with_fallback(batch, inner_cap)
+        except CapacityOverflow:
+            output = _rerun_with_capacity(
+                batch, inner_cap, np.asarray(output["n_voxels_per_level"]))
         counts = np.asarray(output["n_voxels_per_level"])
         _tlog(f"  first sync (compute+counts) {time.time()-_th:.2f}s")
         prev = tm.get("n_vox_levels")

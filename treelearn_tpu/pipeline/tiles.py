@@ -25,6 +25,27 @@ from ..io.pointcloud import load_data
 from ..ops.voxelize import voxel_downsample_trace_np
 
 
+def fill_occupancy_holes(occ: np.ndarray, how_far_fill: int,
+                         min_percent_occupied_fill: float) -> np.ndarray:
+    """Occupancy hole fill: a cell becomes occupied if >= threshold of its
+    (2k+1)^2 edge-clipped neighborhood is occupied (parity: reference
+    data_preparation.py:571-586 ``fill_holes``), computed for all cells at
+    once via an integral image — O(cells), no per-cell Python loop."""
+    x_dim, y_dim = occ.shape
+    k = how_far_fill
+    s = np.zeros((x_dim + 1, y_dim + 1))
+    s[1:, 1:] = occ.cumsum(0).cumsum(1)
+    i = np.arange(x_dim)
+    j = np.arange(y_dim)
+    li, ui = np.maximum(i - k, 0), np.minimum(i + k + 1, x_dim)
+    lj, uj = np.maximum(j - k, 0), np.minimum(j + k + 1, y_dim)
+    wsum = (s[ui[:, None], uj[None, :]] - s[li[:, None], uj[None, :]]
+            - s[ui[:, None], lj[None, :]] + s[li[:, None], lj[None, :]])
+    wsize = (ui - li)[:, None] * (uj - lj)[None, :]
+    return ((occ > 0) | (wsum / wsize >= min_percent_occupied_fill)
+            ).astype(occ.dtype)
+
+
 def compute_tile_grid(x_range, y_range, inner_edge: float, outer_edge: float,
                       stride: float):
     """Inner/outer square extents of the tile grid
@@ -176,24 +197,8 @@ class SampleGenerator:
         grid[..., 1] = ((y_steps[:y_dim] + y_steps[1:y_dim + 1]) / 2)[None, :]
         grid[..., 2] = occ
 
-        # hole filling: a cell becomes occupied if >= threshold of its
-        # (2*how_far_fill+1)^2 neighborhood is occupied (data_preparation.py:571-586)
-        k = how_far_fill
-        padded = np.pad(occ, k)
-        csum = padded.cumsum(0).cumsum(1)
-        csum = np.pad(csum, ((1, 0), (1, 0)))
-        out = np.empty_like(occ)
-        for i in range(x_dim):
-            for j in range(y_dim):
-                lo_i, hi_i = i, min(i + 2 * k + 1, x_dim + 2 * k)
-                lo_j, hi_j = j, min(j + 2 * k + 1, y_dim + 2 * k)
-                # replicate the reference's edge-clipped window
-                li, ui = max(i - k, 0) , min(i + k + 1, x_dim)
-                lj, uj = max(j - k, 0), min(j + k + 1, y_dim)
-                window = occ[li:ui, lj:uj]
-                out[i, j] = occ[i, j] or (window.sum() / window.size
-                                          >= min_percent_occupied_fill)
-        grid[..., 2] = out
+        grid[..., 2] = fill_occupancy_holes(occ, how_far_fill,
+                                            min_percent_occupied_fill)
         self.occupancy_grid = grid
         if occupancy_path:
             np.savez_compressed(occupancy_path, occupancy_grid=grid)

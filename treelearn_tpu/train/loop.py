@@ -105,6 +105,13 @@ def make_train_step(model, optimizer, *, batch_size: int, voxel_capacity: int,
     if fast_conv is None and jax.default_backend() == "tpu":
         fast_conv = "zeros"
 
+    from ..model.network import default_capacities
+
+    caps = jnp.asarray(
+        level_capacities if level_capacities is not None
+        else default_capacities(voxel_capacity, model.num_blocks),
+        dtype=jnp.int32)
+
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, state, opt_state, batch):
         def loss_fn(p):
@@ -127,15 +134,24 @@ def make_train_step(model, optimizer, *, batch_size: int, voxel_capacity: int,
             loss_fn, has_aux=True)(params)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        # Gate the whole update to a no-op in-program when the forward was
+        # invalid.  Two hazards: (a) banded-window overflow under the slim
+        # zeros program (host re-dispatches on the exact fallback), (b) a
+        # level overflowed its static voxel capacity, so the forward ran on a
+        # truncated voxel set (host skips the batch — the training analog of
+        # the reference's "reach zero!!!" tile skip, util/pipeline.py:91-97).
+        # Gating in-program (not host rollback) matters because the inputs
+        # are DONATED: their buffers are deleted after dispatch, so a host
+        # restore of pre-step references would crash on the next step.
+        ok = jnp.all(loss_dict["_n_voxels_per_level"] <= caps)
+        loss_dict["_caps_ok"] = ok
         if "_spans_ok" in loss_dict:
-            # any overflowed window => forward/grads are invalid (zeros
-            # branch) => make the whole update a no-op; the host retries
-            ok = jnp.all(loss_dict["_spans_ok"])
-            keep = lambda new, old: jax.tree.map(
-                lambda n, o: jnp.where(ok, n, o), new, old)
-            new_params = keep(new_params, params)
-            new_state = keep(new_state, state)
-            new_opt_state = keep(new_opt_state, opt_state)
+            ok = ok & jnp.all(loss_dict["_spans_ok"])
+        keep = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new, old)
+        new_params = keep(new_params, params)
+        new_state = keep(new_state, state)
+        new_opt_state = keep(new_opt_state, opt_state)
         return new_params, new_state, new_opt_state, loss, loss_dict
 
     return train_step

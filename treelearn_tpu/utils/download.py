@@ -28,6 +28,14 @@ DATASETS = {
     "benchmark_dataset": [("ZITXOQ", "L1W.laz")],
     "benchmark_dataset_voxelized": [("1K7MCR", "L1W_voxelized01.laz")],
     "benchmark_dataset_evaluation": [("GOKV7W", "L1W_voxelized01_for_eval.laz")],
+    # published model weights (reference download.py:50-82); .pth files load
+    # through model/checkpoint.py's torch-layout importer
+    "model_weights_diverse_training_data": [
+        ("1JMEQV", "model_weights_diverse_training_data.pth")],
+    "model_weights_20241213": [("IMHF3G", "model_weights_20241213.pth")],
+    "model_weights_with_small_20241213": [
+        ("TYZJ4E", "model_weights_with_small_20241213.pth")],
+    "evaluated_trees": [("WTIB7F", "evaluated_trees.txt")],
 }
 
 
@@ -44,7 +52,14 @@ def download_data(name: str, root: str, logger=None):
             continue
         if logger:
             logger.info(f"downloading {fname} ...")
-        urllib.request.urlretrieve(url, dst)
+        try:
+            urllib.request.urlretrieve(url, dst)
+        except OSError as e:
+            if os.path.exists(dst):
+                os.remove(dst)  # never leave a truncated file behind
+            raise RuntimeError(
+                f"could not download {fname} (no network access?). Fetch it "
+                f"manually from {url} and place it at {dst}.") from e
     return root
 
 
