@@ -35,7 +35,8 @@ def test_banded_knn_matches_bruteforce(monkeypatch):
 
     monkeypatch.setattr(pk, "_INTERPRET", True)
     refs, labels, queries = _data()
-    ours = pk.banded_knn_classify(refs, labels, queries, k=5)
+    ours = pk.banded_knn_classify(refs, labels, queries, k=5,
+                                 small_refs_kdtree=False)
     ref = _oracle_vote(refs, labels, queries, 5)
     assert (ours == ref).mean() > 0.998  # distance ties may differ
 
@@ -48,7 +49,8 @@ def test_banded_knn_negative_and_zero_labels(monkeypatch):
     monkeypatch.setattr(pk, "_INTERPRET", True)
     refs, labels, queries = _data(seed=1)
     labels = labels - 1  # now in {-1, 0, .., 6}
-    ours = pk.banded_knn_classify(refs, labels, queries, k=5)
+    ours = pk.banded_knn_classify(refs, labels, queries, k=5,
+                                 small_refs_kdtree=False)
     ref = _oracle_vote(refs, labels, queries, 5)
     assert (ours == ref).mean() > 0.998
 
@@ -64,6 +66,30 @@ def test_banded_knn_sparse_refs_escalate(monkeypatch):
     labels = rng.integers(0, 4, 64)
     queries = np.array([[50.0, 50.0, 0.0], [2.0, 2.0, 0.0],
                         [-30.0, 10.0, 1.0]], np.float32)
-    ours = pk.banded_knn_classify(refs, labels, queries, k=5)
+    ours = pk.banded_knn_classify(refs, labels, queries, k=5,
+                                 small_refs_kdtree=False)
     ref = _oracle_vote(refs, labels, queries, 5)
     assert (ours == ref).all()
+
+
+def test_small_refs_kdtree_route_matches_oracle():
+    """Clustered-blob refs (the remaining-point assignment's shape,
+    reference util/pipeline.py:287-296) route to the host KD-tree and must
+    match the exact majority vote — the banded escalation degenerates on
+    this distribution (VERDICT r3: 208 s for 450k x 16k)."""
+    import treelearn_tpu.ops.pallas_knn as pk
+
+    rng = np.random.default_rng(3)
+    # 40 tight blobs (tree-base clusters) + spread-out queries (crowns)
+    centers = rng.uniform(0, 60, (40, 2))
+    refs = np.concatenate([
+        np.column_stack([c + rng.normal(0, 0.15, (80, 2)),
+                         rng.uniform(0, 1, 80)])
+        for c in centers]).astype(np.float32)
+    labels = np.repeat(np.arange(1, 41), 80)
+    queries = np.column_stack([
+        rng.uniform(0, 60, (2000, 2)),
+        rng.uniform(0, 15, 2000)]).astype(np.float32)
+    ours = pk.banded_knn_classify(refs, labels, queries, k=5)
+    ref = _oracle_vote(refs, labels, queries, 5)
+    assert (ours == ref).mean() > 0.998

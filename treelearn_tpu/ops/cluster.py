@@ -533,170 +533,3 @@ def knn_classify(ref_pts: np.ndarray, ref_labels: np.ndarray,
     # row picks the smallest label among ties (bincount-argmax parity).
     counts = (votes[:, :, None] == votes[:, None, :]).sum(axis=2)
     return np.take_along_axis(votes, counts.argmax(axis=1)[:, None], axis=1)[:, 0]
-
-
-# ---------------------------------------------------------------------------
-# Blob-gated exact k-NN (plot-scale assignment without the host KD-tree)
-# ---------------------------------------------------------------------------
-# The assignment problem's refs are offset-shifted CLUSTERED points: a few
-# hundred tight blobs (one per tree base).  Grid-banded k-NN fails there (the
-# refs clump, the queries spread: measured 1.4% hit rate), and the full brute
-# stream pays nq x nr pairs.  Instead: gate each query onto its top-B blobs by
-# the ``centroid distance - blob radius`` lower bound, run exact top-k inside
-# those blobs only (batched GEMMs), and certify per query that the kth found
-# distance beats the best EXCLUDED blob's lower bound — queries that fail the
-# certificate (overlapping blobs) re-run on the exact brute stream, so the
-# result equals brute_knn everywhere.  Replaces the reference's
-# KNeighborsClassifier (util/pipeline.py:287-296) at plot scale.
-
-
-@partial(jax.jit, static_argnames=("top_b",))
-def _blob_gate_jit(q, cent, rad, top_b: int):
-    """Per query: top-B blob ids by distance-minus-radius lower bound, plus
-    the lower bound of the first excluded blob (the exactness certificate)."""
-    q2 = jnp.sum(q * q, axis=-1)
-    c2 = jnp.sum(cent * cent, axis=-1)
-    d2 = q2[:, None] + c2[None, :] - 2.0 * (q @ cent.T)
-    d = jnp.sqrt(jnp.maximum(d2, 0.0))
-    lb = d - rad[None, :]
-    neg, idx = jax.lax.top_k(-lb, top_b + 1)
-    return idx[:, :top_b].astype(jnp.int32), -neg[:, top_b]
-
-
-@partial(jax.jit, static_argnames=("k",))
-def _blob_batch_topk(qb, rb, rvalid, k: int):
-    """Exact top-k of each query against its blob's refs, batched over blobs:
-    qb (B, Qp, 3), rb (B, Rp, 3), rvalid (B, Rp) -> d2/idx (B, Qp, k)."""
-    q2 = jnp.sum(qb * qb, axis=-1)
-    r2 = jnp.sum(rb * rb, axis=-1)
-    d2 = (q2[..., None] + r2[:, None, :]
-          - 2.0 * jnp.einsum("bqd,brd->bqr", qb, rb))
-    d2 = jnp.where(rvalid[:, None, :], d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, k)
-    return -neg, idx.astype(jnp.int32)
-
-
-def blob_gated_knn(ref_pts: np.ndarray, ref_labels: np.ndarray,
-                   query_pts: np.ndarray, k: int = 5, top_b: int = 2,
-                   return_stats: bool = False):
-    """Exact k-NN (== brute_knn) for refs that form labeled blobs.
-
-    Returns (idx, d2): (nq, k) original-ref-row indices and squared
-    distances, ascending.  Cost ~ nq * top_b * mean_blob_size pairs instead
-    of nq * nr, plus an exact brute pass over certificate failures.
-    """
-    ref_pts = np.ascontiguousarray(ref_pts[:, :3], np.float32)
-    query_pts = np.ascontiguousarray(query_pts[:, :3], np.float32)
-    labels = np.asarray(ref_labels)
-    nq, nr = len(query_pts), len(ref_pts)
-    if nq == 0:
-        return (np.zeros((0, k), np.int64), np.zeros((0, k), np.float32))
-
-    blob_of = np.unique(labels, return_inverse=True)[1]
-    nb = int(blob_of.max()) + 1 if nr else 0
-    order = np.argsort(blob_of, kind="stable")
-    sorted_refs = ref_pts[order]
-    inv_sorted = blob_of[order]
-    sizes = np.bincount(blob_of, minlength=nb)
-    offs = np.concatenate([[0], np.cumsum(sizes)])
-    cent = (np.add.reduceat(sorted_refs.astype(np.float64), offs[:-1], axis=0)
-            / sizes[:, None]).astype(np.float32)
-    dev = np.linalg.norm(sorted_refs - cent[inv_sorted], axis=1)
-    rad = np.zeros(nb, np.float32)
-    np.maximum.at(rad, inv_sorted, dev.astype(np.float32))
-
-    top_b = min(top_b, nb)
-    nbp = _pow2(max(nb, top_b + 1, 8))
-    centp = np.full((nbp, 3), 1e30, np.float32)
-    centp[:nb] = cent
-    radp = np.full(nbp, -1e30, np.float32)
-    radp[:nb] = rad
-    centj, radj = jnp.asarray(centp), jnp.asarray(radp)
-
-    chosen = np.empty((nq, top_b), np.int32)
-    lb_excl = np.empty(nq, np.float32)
-    qb_gate = max(min((1 << 26) // max(nbp, 1), 1 << 17), 4096)
-    qb_gate = _pow2(min(qb_gate, _pow2(max(nq, 256))))
-    for lo in range(0, nq, qb_gate):
-        hi = min(lo + qb_gate, nq)
-        blk = np.zeros((qb_gate, 3), np.float32)
-        blk[: hi - lo] = query_pts[lo:hi]
-        ch, lb = _blob_gate_jit(jnp.asarray(blk), centj, radj, top_b)
-        chosen[lo:hi] = np.asarray(ch)[: hi - lo]
-        lb_excl[lo:hi] = np.asarray(lb)[: hi - lo]
-
-    # (blob, query, slot) pair lists grouped by blob
-    pair_blob = chosen.ravel()
-    pair_q = np.repeat(np.arange(nq, dtype=np.int64), top_b)
-    pair_slot = np.tile(np.arange(top_b, dtype=np.int64), nq)
-    porder = np.argsort(pair_blob, kind="stable")
-    pair_blob, pair_q, pair_slot = (pair_blob[porder], pair_q[porder],
-                                    pair_slot[porder])
-    qcounts = np.bincount(pair_blob, minlength=nb)
-    qoffs = np.concatenate([[0], np.cumsum(qcounts)])
-
-    out_d2 = np.full((nq, top_b * k), np.inf, np.float32)
-    out_idx = np.full((nq, top_b * k), -1, np.int64)
-
-    # bucket blobs by padded (Qp, Rp); batch same-shape blobs per dispatch
-    active = np.where(qcounts[:nb] > 0)[0]
-
-    def _pow2_arr(a):
-        a = np.maximum(np.asarray(a, np.int64), 1)
-        return 1 << np.ceil(np.log2(a)).astype(np.int64)
-
-    qp_of = np.maximum(_pow2_arr(qcounts[active]), 8)
-    rp_of = np.maximum(_pow2_arr(sizes[active]), 8)
-    from collections import defaultdict
-
-    buckets = defaultdict(list)
-    for b, qp, rp in zip(active, qp_of, rp_of):
-        buckets[(int(qp), int(rp))].append(int(b))
-    for (qp, rp), bs in sorted(buckets.items()):
-        k_eff = min(k, rp)
-        bmax = max(int((1 << 26) // (qp * rp)), 1)
-        for c0 in range(0, len(bs), bmax):
-            group = bs[c0:c0 + bmax]
-            bpad = _pow2(max(len(group), 1))
-            qarr = np.zeros((bpad, qp, 3), np.float32)
-            rarr = np.zeros((bpad, rp, 3), np.float32)
-            rval = np.zeros((bpad, rp), bool)
-            for j, b in enumerate(group):
-                qs = pair_q[qoffs[b]:qoffs[b + 1]]
-                qarr[j, : len(qs)] = query_pts[qs]
-                rarr[j, : sizes[b]] = sorted_refs[offs[b]:offs[b + 1]]
-                rval[j, : sizes[b]] = True
-            d2b, idxb = _blob_batch_topk(jnp.asarray(qarr), jnp.asarray(rarr),
-                                         jnp.asarray(rval), k_eff)
-            d2b, idxb = np.asarray(d2b), np.asarray(idxb)
-            for j, b in enumerate(group):
-                sl = slice(qoffs[b], qoffs[b + 1])
-                qs, slots = pair_q[sl], pair_slot[sl]
-                dd = d2b[j, : len(qs)]
-                ii = idxb[j, : len(qs)].astype(np.int64) + offs[b]
-                ii[~np.isfinite(dd)] = -1
-                # unique (query, slot) pairs: flat scatter, no read-back
-                flat = (qs[:, None] * (top_b * k) + slots[:, None] * k
-                        + np.arange(k_eff)[None, :])
-                out_d2.ravel()[flat] = dd
-                out_idx.ravel()[flat] = ii
-
-    # merge the top-B blob candidate pools, certify, fall back where needed
-    sel = np.argsort(out_d2, axis=1)[:, :k]
-    final_d2 = np.take_along_axis(out_d2, sel, axis=1)
-    final_idx = np.take_along_axis(out_idx, sel, axis=1)
-    kth = np.sqrt(np.maximum(final_d2[:, -1], 0.0))
-    # margin covers f32 GEMM cancellation on centered plot coords
-    margin = 1e-3 * max(float(np.abs(query_pts).max(initial=1.0)), 1.0)
-    exact_ok = (kth + margin < lb_excl) & (final_idx >= 0).all(axis=1)
-    fb = np.where(~exact_ok)[0]
-    if len(fb):
-        fb_idx, fb_d2 = brute_knn(sorted_refs, query_pts[fb], k=k,
-                                  return_d2=True)
-        final_idx[fb] = fb_idx
-        final_d2[fb] = fb_d2
-    final_idx = order[final_idx]  # back to original ref rows
-    if return_stats:
-        return final_idx, final_d2, {"fallback_frac": len(fb) / max(nq, 1),
-                                     "n_blobs": nb}
-    return final_idx, final_d2

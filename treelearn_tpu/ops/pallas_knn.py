@@ -257,11 +257,30 @@ def _banded_knn_pass(ref_pts, ref_labels, query_pts, cell, k,
             float(overflow_tiles.mean()) if ntiles else 0.0)
 
 
+def _kdtree_vote(ref_pts, enc, query_pts, k):
+    """Exact k-NN majority vote via the host KD-tree (the same structure the
+    reference's KNeighborsClassifier uses, util/pipeline.py:292).  Returns
+    None when scipy is unavailable (callers fall through to device paths)."""
+    try:
+        from scipy.spatial import cKDTree
+    except ImportError:  # pragma: no cover - scipy ships in-image
+        return None
+    k_eff = min(int(k), len(ref_pts))
+    _, nn = cKDTree(ref_pts).query(query_pts, k=k_eff, workers=-1)
+    nn = nn.reshape(len(query_pts), k_eff)
+    votes = np.sort(enc[nn], axis=1)
+    counts = (votes[:, :, None] == votes[:, None, :]).sum(axis=2)
+    return np.take_along_axis(votes, counts.argmax(axis=1)[:, None],
+                              axis=1)[:, 0]
+
+
 def banded_knn_classify(ref_pts: np.ndarray, ref_labels: np.ndarray,
                         query_pts: np.ndarray, k: int = 5,
-                        max_rounds: int = 6) -> np.ndarray:
+                        max_rounds: int = 6,
+                        small_refs_kdtree: bool = True) -> np.ndarray:
     """Majority vote over the k nearest refs, banded kernel with cell-size
-    escalation; exact vs brute force (up to float-equal distance ties)."""
+    escalation; exact vs brute force (up to float-equal distance ties).
+    ``small_refs_kdtree=False`` forces the device path (kernel tests)."""
     from .cluster import brute_knn
 
     ref_pts = np.asarray(ref_pts, np.float32)
@@ -275,6 +294,17 @@ def banded_knn_classify(ref_pts: np.ndarray, ref_labels: np.ndarray,
     base = int(enc.min()) if nr else 0
     enc = enc - base + 1          # kernel label readout needs labels >= 1
 
+    if (small_refs_kdtree and nr
+            and nr <= int(os.environ.get("TL_KNN_SMALL_REFS", 1 << 17))):
+        # small ref sets — the remaining-point assignment's refs are a few
+        # hundred tight cluster blobs (reference util/pipeline.py:287-296) —
+        # are the banded kernel's worst case: refs clump, queries spread, so
+        # escalation rounds resolve almost nothing (measured 208 s for
+        # 450k x 16k on interlocked crowns) while a host KD-tree answers the
+        # same problem exactly in ~1 s.  Build cost is trivial at this size.
+        res = _kdtree_vote(ref_pts, enc, query_pts, k)
+        if res is not None:
+            return res + base - 1
     result = np.full(nq, -1, np.int64)
     need = np.ones(nq, bool)
     use_banded = nr >= k

@@ -39,6 +39,8 @@ def train_synthetic_checkpoint(
     seed0: int = 101,
     logger=None,
     log_every: int = 50,
+    hard_frac: float = 0.5,
+    recipe_v: int = 4,
 ) -> str:
     """Train ``model_cfg`` on synthetic crops; return a checkpoint path.
 
@@ -64,7 +66,9 @@ def train_synthetic_checkpoint(
 
     recipe = {"steps": steps, "lr": lr, "batch_size": batch_size,
               "voxel_capacity": voxel_capacity, "n_crops": n_crops,
-              "crop_extent": crop_extent, "seed0": seed0, "v": 3}
+              "crop_extent": crop_extent, "seed0": seed0, "v": recipe_v}
+    if hard_frac != 0.5:
+        recipe["hard_frac"] = hard_frac
     mc = dict(model_cfg)
     # training-time spatial bound for the crop extent (the dense probe
     # tables scale with it; the checkpoint is shape-independent)
@@ -80,11 +84,12 @@ def train_synthetic_checkpoint(
 
     t0 = time.time()
     crops_dir = tempfile.mkdtemp(prefix="selftrain_crops_")
+    n_easy = max(int(round(n_crops * (1.0 - hard_frac))), 1)
     for i in range(n_crops):
-        # 50/50 easy cones / hard-mode geometry (interlocking crowns,
+        # mixed easy cones / hard-mode geometry (interlocking crowns,
         # understory, occlusion, density gradients) so the checkpoint is a
-        # meaningful anchor for BOTH benchmark passes
-        gen = make_synthetic_forest if i % 2 == 0 else make_synthetic_forest_hard
+        # meaningful anchor for BOTH benchmark passes; hard_frac sets the mix
+        gen = make_synthetic_forest if i < n_easy else make_synthetic_forest_hard
         data, _ = gen(
             n_trees=max(int(crop_extent * crop_extent / 75), 3),
             extent=crop_extent, points_per_tree=9000,

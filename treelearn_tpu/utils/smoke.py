@@ -125,7 +125,8 @@ def run_tpu_smoke() -> dict:
         ref_pts = rng.uniform(0, 8, (3000, 3)).astype(np.float32)
         ref_lab = rng.integers(1, 9, 3000).astype(np.int64)
         q = rng.uniform(0, 8, (500, 3)).astype(np.float32)
-        ours = banded_knn_classify(ref_pts, ref_lab, q, k=5)
+        ours = banded_knn_classify(ref_pts, ref_lab, q, k=5,
+                                   small_refs_kdtree=False)
         d2 = ((q[:, None, :] - ref_pts[None, :, :]) ** 2).sum(-1)
         idx = np.argsort(d2, axis=1)[:, :5]
         exact = np.array([np.bincount(ref_lab[r]).argmax() for r in idx])
