@@ -479,5 +479,7 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
         "results_dir": results_dir,
         "stage_seconds": stage_seconds,
         "model_timings": model_timings,
-        "output_path": osp.join(full_dir, f"{plot_name}.{config.save_cfg.save_formats[0]}"),
+        "output_path": (osp.join(
+            full_dir, f"{plot_name}.{config.save_cfg.save_formats[0]}")
+            if config.save_cfg.save_formats else None),
     }

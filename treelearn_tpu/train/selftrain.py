@@ -40,7 +40,7 @@ def train_synthetic_checkpoint(
     logger=None,
     log_every: int = 50,
     hard_frac: float = 0.5,
-    recipe_v: int = 4,
+    recipe_v: int = 5,
 ) -> str:
     """Train ``model_cfg`` on synthetic crops; return a checkpoint path.
 
@@ -107,6 +107,34 @@ def train_synthetic_checkpoint(
     loader = TreeLoader(dataset, batch_size=batch_size, training=True,
                         min_bucket=voxel_capacity)
 
+    # Per-level capacities measured from the actual crops (+35% headroom for
+    # the rotation/jitter augmentations), NOT the halve-per-level default:
+    # dense synthetic crops keep ~55-65% of voxels across a downsample, so
+    # the default silently truncated level 1+ — the deep U-Net levels (the
+    # long-range context crown offsets need) trained on dropped voxels, which
+    # is exactly the round-3 "crown offsets collapse to zero" failure.
+    from ..ops.voxelize import level_voxel_counts_np
+
+    def _pow2(x):
+        return 1 << int(np.ceil(np.log2(max(int(x), 1))))
+
+    vs = float(mc.get("voxel_size", 0.1))
+    nb = int(mc.get("num_blocks", 7))
+    max_counts = np.zeros(nb, np.int64)
+    for i in range(n_crops):
+        pts = np.load(osp.join(crops_dir, f"crop_{i}.npz"))["points"]
+        counts = level_voxel_counts_np(pts.astype(np.float64), vs,
+                                       mc["spatial_shape"], nb)
+        max_counts = np.maximum(max_counts, counts)
+    level_capacities = tuple(
+        min(max(_pow2(int(c * 1.35)), 512), voxel_capacity)
+        for c in max_counts)
+    if level_capacities[0] < voxel_capacity:
+        level_capacities = (voxel_capacity,) + level_capacities[1:]
+    if logger:
+        logger(f"selftrain: level caps {level_capacities} "
+               f"(measured {max_counts.tolist()})")
+
     model = TreeLearn(**mc)
     params, state = model.init(np.random.SeedSequence(seed0))
     # per-step cosine decay (recipe v3): the constant-lr run left the mixed
@@ -120,9 +148,11 @@ def train_synthetic_checkpoint(
     opt_state = optimizer.init(params)
     step_fn = make_train_step(model, optimizer, batch_size=batch_size,
                               voxel_capacity=voxel_capacity,
-                              compute_dtype=jnp.bfloat16)
+                              compute_dtype=jnp.bfloat16,
+                              level_capacities=level_capacities)
 
     n_done = 0
+    n_skipped = 0
     losses = []
     while n_done < steps:
         for batch in loader:
@@ -130,17 +160,32 @@ def train_synthetic_checkpoint(
                 break
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                       if isinstance(v, np.ndarray)}
-            params, state, opt_state, loss, _ = step_fn(
+            params, state, opt_state, loss, ld = step_fn(
                 params, state, opt_state, jbatch)
+            caps_ok = ld.get("_caps_ok")
+            if caps_ok is not None and not bool(np.asarray(caps_ok)):
+                # the update was a no-op in-program (capacity overflow):
+                # count it — a silent stream of no-ops trains nothing
+                n_skipped += 1
+                if logger and n_skipped in (1, 10, 100):
+                    logger(f"selftrain: capacity overflow at step {n_done} "
+                           f"({n_skipped} skipped so far, counts "
+                           f"{np.asarray(ld.get('_n_voxels_per_level'))})")
             n_done += 1
             if n_done % log_every == 0 or n_done == steps:
                 losses.append(float(loss))
                 if logger:
+                    comps = {k: round(float(v), 3) for k, v in ld.items()
+                             if not k.startswith("_")}
                     logger(f"selftrain: step {n_done}/{steps} "
-                           f"loss {losses[-1]:.3f} "
+                           f"loss {losses[-1]:.3f} {comps} "
                            f"({time.time() - t0:.0f}s)")
     if not np.isfinite(losses[-1]):
         raise RuntimeError(f"selftrain diverged: losses {losses}")
+    if n_skipped > steps // 4:
+        raise RuntimeError(
+            f"selftrain: {n_skipped}/{steps} steps were capacity-overflow "
+            "no-ops; raise voxel_capacity or shrink the crops")
     params = jax.device_get(params)
     state = jax.device_get(state)
     save_checkpoint(ckpt_path, params, state, epoch=0)
