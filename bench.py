@@ -356,6 +356,38 @@ def main():
                               else 0),
         }
 
+    # HDBSCAN-mode pass (VERDICT r3 item 5): the shipped default config is
+    # use_hdbscan: True (grouping.yaml:7, matching reference grouping.yaml:7 /
+    # BASELINE config 4) — score the flagship default alongside dbscan mode.
+    # BENCH_HDBSCAN=0 skips.
+    hdbscan = {}
+    if os.environ.get("BENCH_HDBSCAN", "1") != "0":
+        from treelearn_tpu.train.selftrain import detection_f1_from_pointwise
+
+        config.forest_path = forest_path
+        config.grouping.use_hdbscan = True
+        shutil.rmtree(result["results_dir"], ignore_errors=True)
+        t0 = time.time()
+        hres = run_treelearn_pipeline(config)
+        hd_elapsed = time.time() - t0
+        hpw = os.path.join(hres["results_dir"], "pointwise_results",
+                           "pointwise_results.npz")
+        hq = detection_f1_from_pointwise(hpw)
+        log(f"hdbscan mode: F1 {hq['f1_score']}% completeness "
+            f"{hq['completeness']}% commission {hq['commission_error_rate']}%"
+            f" matched-IoU {hq.get('mean_matched_iou')}% in {hd_elapsed:.1f}s"
+            f" ({hq['n_pred']} preds / {hq['n_gt']} gt)")
+        hdbscan = {
+            "hdbscan_seconds": round(hd_elapsed, 1),
+            "hdbscan_mpts_per_sec": round(n_points / hd_elapsed / 1e6, 4),
+            "hdbscan_detection_f1": hq["f1_score"],
+            "hdbscan_completeness": hq["completeness"],
+            "hdbscan_commission_error_rate": hq["commission_error_rate"],
+            "hdbscan_mean_matched_iou": hq.get("mean_matched_iou"),
+            "hdbscan_cluster_seconds": hres["stage_seconds"].get("cluster"),
+        }
+        config.grouping.use_hdbscan = False
+
     # Hard-mode pass (VERDICT r2 item 4): interlocking crowns, understory
     # clutter, occlusion shadows, density gradients — scored with the same
     # trained checkpoint and the full reference protocol (detection F1 +
@@ -428,6 +460,7 @@ def main():
         "n_trees_found": result["n_trees"],
         "stage_seconds": stage_seconds,
         **quality,
+        **hdbscan,
         **hard,
         **model_line,
         **({"tpu_smoke": smoke} if smoke else {}),

@@ -75,7 +75,7 @@ def main():
     caps = tuple(min(max(1 << int(np.ceil(np.log2(max(int(c * 1.35), 512)))),
                          512), cap) for c in counts)
     caps = (cap,) + caps[1:]
-    log(f"level caps {caps} (measured {counts.tolist()})")
+    log(f"level caps {caps} (measured {list(counts)})")
     step = make_train_step(model, optimizer, batch_size=1,
                            voxel_capacity=cap, compute_dtype=dtype,
                            level_capacities=caps)
