@@ -55,10 +55,14 @@ def test_dp_train_matches_single_device_trajectory():
     samples = _crop_samples(8)
     bucket = 1 << 10
 
-    # single-device run
+    # single-device run.  Flat level capacities: these random-uniform crops
+    # barely shrink under downsampling (~4.7k voxels at EVERY level), so the
+    # halve-per-level default would trip the in-program capacity gate
+    # (train/loop.py) and freeze the trajectory into no-op updates
     opt1 = build_optimizer(dict(opt_cfg), grad_norm_clip=True, steps_per_epoch=1)
-    step1 = make_train_step(model, opt1, batch_size=8, voxel_capacity=1 << 12,
-                            compute_dtype=jnp.float32)
+    step1 = make_train_step(model, opt1, batch_size=8, voxel_capacity=1 << 13,
+                            compute_dtype=jnp.float32,
+                            level_capacities=(1 << 13,) * 3)
     batch1 = collate_padded(samples, pad_to=bucket * 8)
     jb1 = {k: jnp.asarray(v) for k, v in batch1.items()
            if isinstance(v, np.ndarray)}
@@ -67,6 +71,7 @@ def test_dp_train_matches_single_device_trajectory():
     losses1 = []
     for _ in range(3):
         p1, s1, o1, loss, ld = step1(p1, s1, o1, jb1)
+        assert bool(np.asarray(ld["_caps_ok"])), "capacity gate tripped"
         ld.pop("_n_voxels_per_level", None)
         losses1.append(float(loss))
 

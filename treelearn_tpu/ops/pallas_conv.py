@@ -71,6 +71,20 @@ _ALIGN = 64
 # interpreter mode for CPU-side testing of the kernels
 _INTERPRET = os.environ.get("TL_PALLAS_INTERPRET", "0") == "1"
 
+# dz-select formulation (see _gather_bands):
+#   "roll"   — full-128-lane: per-row lane offset o = m + dd - dz in {-2..1},
+#              4x (compare + select) over lane-rolled copies of the (T, 4C)
+#              gather row; every op is register-aligned (no 96/32-lane views)
+#   "legacy" — round-3 4-phase select into a (T, 3C) plane; kept for A/B
+#              ablation (scripts/ablate_conv6.py)
+_SELECT_MODE = os.environ.get("TL_CONV_SELECT", "roll")
+
+
+def _sel_groups() -> int:
+    """Lane groups of the band plane handed to consume(): 4 (roll mode,
+    group 3 always zero) or 3 (legacy)."""
+    return 4 if _SELECT_MODE == "roll" else 3
+
 # python int, NOT jnp.int32: a module-level concrete jnp array becomes a
 # hoisted constant buffer in every program that closes over it, which
 # interacts badly with jax 0.9 executable caches (see pipeline/inference.py)
@@ -204,9 +218,45 @@ def _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems, consume,
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         m = jax.lax.bitwise_and(r0, 1)
 
-        # fused wide select: one (T, 3*c_unit) phase plane serves all three
-        # dz lanes at once — the per-dz (T, c_unit) form wasted 3/4 of the
-        # VPU lanes at c_unit=32 and was 58% of kernel time (ablation in
+        if _SELECT_MODE == "roll":
+            # full-lane miss-form select.  Destination lane group dz must
+            # receive g[m + dd_dz]; write dd = dz - miss (dd is dz's rank
+            # among existing neighbors, so miss = #missing neighbors below
+            # dz, in [0, dz]).  Then the target is g[(dz + m) - miss]:
+            #   A  = m-selected base plane (group dz holds g[dz + m]):
+            #        one uniform lane roll + one row-broadcast select;
+            #   sel = sum_k (miss_plane == k) * roll(A, k*c_unit):
+            #        each roll moves every group's source down one slot.
+            # Every operand is the full (T, 4*c_unit) register width — no
+            # 96/32-lane views — and the op count is ~2/3 of the 4-phase
+            # select (ablate_conv3: the select sits at the vreg-op roofline,
+            # so fewer full-width ops is the only lever).
+            # Wrap safety: group 3 is masked (miss=-1); miss>=1 never occurs
+            # at group 0; A's wrap (group 3 <- g0 when m=1) is masked too.
+            dd0 = jax.lax.bitwise_and(rd, 3) - 1
+            dd1 = jax.lax.bitwise_and(jax.lax.shift_right_logical(rd, 2), 3) - 1
+            dd2 = jax.lax.bitwise_and(jax.lax.shift_right_logical(rd, 4), 3) - 1
+            miss = [jnp.where(has & (dd >= 0), jnp.float32(dz) - dd, -1.0)
+                    for dz, dd in enumerate((dd0, dd1, dd2))]
+            lane4 = jax.lax.broadcasted_iota(
+                jnp.int32, (tile, 4 * c_unit), 1) // c_unit
+            mp = jnp.where(
+                lane4 == 0, miss[0][:, None],
+                jnp.where(lane4 == 1, miss[1][:, None],
+                          jnp.where(lane4 == 2, miss[2][:, None], -1.0)))
+            a1 = pltpu.roll(g, shift=3 * c_unit, axis=1)   # group dz <- g[dz+1]
+            A = jnp.where((m == 1)[:, None], a1, g)
+            sel_cat = jnp.where(mp == 0, A, 0)
+            Ar = pltpu.roll(A, shift=c_unit, axis=1)       # group dz <- A[dz-1]
+            sel_cat = sel_cat + jnp.where(mp == 1, Ar, 0)
+            Arr = pltpu.roll(Ar, shift=c_unit, axis=1)
+            sel_cat = sel_cat + jnp.where(mp == 2, Arr, 0)
+            consume(b, sel_cat)                              # (T, 4*c_unit)
+            return _
+
+        # legacy fused wide select: one (T, 3*c_unit) phase plane serves all
+        # three dz lanes at once — the per-dz (T, c_unit) form wasted 3/4 of
+        # the VPU lanes at c_unit=32 and was 58% of kernel time (ablation in
         # scripts/ablate_conv.py).
         phs = []
         for dz in range(3):
@@ -265,13 +315,18 @@ def _slide_feats(feats: jnp.ndarray, c_unit: int) -> jnp.ndarray:
 
 
 def _band_weight(weight: jnp.ndarray, c_unit: int) -> jnp.ndarray:
-    """(27, Cin, Cout) -> (9, 3*c_unit, Cout) bf16: per-band stacked weights,
-    zero rows for the Cin->c_unit channel padding."""
+    """(27, Cin, Cout) -> (9, G*c_unit, Cout) bf16 per-band stacked weights
+    (G = _sel_groups()), zero rows for the Cin->c_unit channel padding and —
+    in roll mode — for the always-zero 4th lane group of the band plane."""
     k, cin, cout = weight.shape
     wb = weight.astype(jnp.bfloat16)
     if cin != c_unit:
         wb = jnp.pad(wb, ((0, 0), (0, c_unit - cin), (0, 0)))
-    return wb.reshape(9, 3 * c_unit, cout)
+    g = _sel_groups()
+    wb = wb.reshape(9, 3, c_unit, cout)
+    if g == 4:
+        wb = jnp.pad(wb, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    return wb.reshape(9, g * c_unit, cout)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window"))
@@ -388,7 +443,7 @@ def rule_conv_dw_banded(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
             pl.BlockSpec((tile, cout), lambda t, lo, nl: (t, 0)),  # g tile
             pl.BlockSpec(memory_space=pltpu.HBM),                 # x windows
         ],
-        out_specs=pl.BlockSpec((9, 3 * c_unit, cout),
+        out_specs=pl.BlockSpec((9, _sel_groups() * c_unit, cout),
                                lambda t, lo, nl: (0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, window_rows, 4 * c_unit), jnp.bfloat16),
@@ -399,12 +454,15 @@ def rule_conv_dw_banded(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
         functools.partial(_dw_kernel, window_rows=window_rows, tile=tile,
                           c_unit=c_unit),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((9, 3 * c_unit, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9, _sel_groups() * c_unit, cout),
+                                       jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_INTERPRET,
     )(spans.lo, n_live, spans.rd, g_b, x_p)
+    # slice the dz groups back out (roll mode appends an always-zero 4th)
+    dw = dw.reshape(9, _sel_groups(), c_unit, cout)[:, :3]
     return dw.reshape(27, c_unit, cout)[:, :cin, :]
 
 

@@ -41,6 +41,10 @@ _MODEL_INPUT_KEYS = ("coords", "input_feats", "batch_ids", "valid",
 _PROCESS_STEP_CACHE: Dict[tuple, callable] = {}
 # (host params id, host state id, device) -> host refs + device copies
 _PARAMS_DEVICE_CACHE: Dict[tuple, tuple] = {}
+# step-cache key -> {"pure_step_s", "dispatch_rtt_s"}: the MFU pure-step
+# measurement re-dispatches the full eval step 3x (~1.5-2.5 s through the
+# tunnel) — pay it once per compiled program, not once per plot
+_PURE_STEP_TIMINGS: Dict[tuple, dict] = {}
 
 
 def _pow2(x: int) -> int:
@@ -400,7 +404,7 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         if pending is not None:
             harvest(*pending)  # blocks on t-1 while the device runs t
         pending = (output, batch, inner_cap)
-        last_dispatch = (eval_step, jbatch)
+        last_dispatch = (eval_step, jbatch, key)
         tm["device_s"] += time.time() - t0  # dispatch + overlapped harvest
         _tlog(f"dispatched +{time.time()-_t0:.2f}s")
     if pending is not None:
@@ -417,24 +421,34 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         # with input perturbations that keep shapes/programs identical,
         # minus the measured dispatch round-trip (the profiling discipline
         # of docs/performance.md / scripts/profile_step.py::timeit).
-        step, jbatch = last_dispatch
-        t_rerun = time.time()
-        tiny = jax.jit(lambda x: x + 1.0)
-        jax.block_until_ready(tiny(jnp.float32(0)))
-        rtt = min(_timed(lambda i=i: jax.block_until_ready(
-            tiny(jnp.float32(i)))) for i in range(1, 4))
-        best = float("inf")
-        for i in range(1, 4):
-            jb = dict(jbatch)
-            jb["coords"] = jbatch["coords"] + jnp.float32(7e-4 * i)
-            jax.block_until_ready(jb["coords"])  # perturb outside the timing
-            best = min(best, _timed(lambda jb=jb: jax.block_until_ready(
-                step(params, state, jb))))
-        tm["pure_step_s"] = max(best - rtt, 0.0)
-        tm["dispatch_rtt_s"] = rtt
-        # instrumentation, not pipeline work: callers subtract this from
-        # their stage wall-clock
-        tm["timing_rerun_s"] = time.time() - t_rerun
+        step, jbatch, skey = last_dispatch
+        cached = _PURE_STEP_TIMINGS.get(skey)
+        if cached is not None:
+            # measured once for this compiled program (multi-plot serving /
+            # steady bench passes): reuse, no re-dispatch cost
+            tm["pure_step_s"] = cached["pure_step_s"]
+            tm["dispatch_rtt_s"] = cached["dispatch_rtt_s"]
+            tm["timing_rerun_s"] = 0.0
+        else:
+            t_rerun = time.time()
+            tiny = jax.jit(lambda x: x + 1.0)
+            jax.block_until_ready(tiny(jnp.float32(0)))
+            rtt = min(_timed(lambda i=i: jax.block_until_ready(
+                tiny(jnp.float32(i)))) for i in range(1, 4))
+            best = float("inf")
+            for i in range(1, 4):
+                jb = dict(jbatch)
+                jb["coords"] = jbatch["coords"] + jnp.float32(7e-4 * i)
+                jax.block_until_ready(jb["coords"])  # perturb outside timing
+                best = min(best, _timed(lambda jb=jb: jax.block_until_ready(
+                    step(params, state, jb))))
+            tm["pure_step_s"] = max(best - rtt, 0.0)
+            tm["dispatch_rtt_s"] = rtt
+            # instrumentation, not pipeline work: callers subtract this from
+            # their stage wall-clock
+            tm["timing_rerun_s"] = time.time() - t_rerun
+            _PURE_STEP_TIMINGS[skey] = {"pure_step_s": tm["pure_step_s"],
+                                        "dispatch_rtt_s": rtt}
 
     cat = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
     return (cat["semantic_prediction_logits"], cat["semantic_labels"],
