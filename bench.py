@@ -407,10 +407,15 @@ def main():
         np.savez(hard_path, points=hdata[:, :3].astype(np.float32),
                  labels=hdata[:, 3])
         log(f"hard forest: {len(hdata)} pts, {int(hdata[:, 3].max())} trees")
-        config.forest_path = hard_path
-        t0 = time.time()
-        hres = run_treelearn_pipeline(config)
-        hard_elapsed = time.time() - t0
+        # best of 2: the first hard pass pays its own shape-bucket compiles
+        # (the hard plot voxelizes to a different capacity bucket than the
+        # easy one); the steady number is the warm second pass
+        hard_elapsed = float("inf")
+        for _ in range(2):
+            config.forest_path = hard_path
+            t0 = time.time()
+            hres = run_treelearn_pipeline(config)
+            hard_elapsed = min(hard_elapsed, time.time() - t0)
         hpw = os.path.join(hres["results_dir"], "pointwise_results",
                            "pointwise_results.npz")
         hq = detection_f1_from_pointwise(hpw)
@@ -445,12 +450,21 @@ def main():
             f"{smoke['failed']} failed {smoke['checks']} "
             f"({time.time()-t0:.1f}s)")
 
-    mpts = n_points / elapsed / 1e6
+    easy_mpts = n_points / elapsed / 1e6
+    # headline: BOTH scored passes (easy + hard) in one steady-state
+    # throughput, so a hard-pass runtime pathology (the round-3 208 s
+    # assign_remaining blow-up) moves the number being optimized; quality
+    # bars (detection_f1 / hard_detection_f1) ride alongside
+    total_pts = n_points + (hard.get("hard_n_points", 0) or 0)
+    total_s = elapsed + (hard.get("hard_seconds", 0.0) or 0.0)
+    mpts = total_pts / total_s / 1e6
     print(json.dumps({
-        "metric": "synthetic forest end-to-end segmentation (steady state)",
+        "metric": "synthetic forest end-to-end segmentation "
+                  "(steady state, easy+hard passes)",
         "value": round(mpts, 4),
         "unit": "Mpts/sec",
         "vs_baseline": round(mpts / BASELINE_MPTS_PER_SEC, 2),
+        "easy_mpts_per_sec": round(easy_mpts, 4),
         "n_points": n_points,
         "seconds": round(elapsed, 1),
         "cold_seconds": round(cold_elapsed, 1),

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--skip-assign", action="store_true")
     ap.add_argument("--recipe-v", type=int, default=None,
                     help="override recipe version tag (cache key)")
+    ap.add_argument("--crop-extent", type=float, default=None,
+                    help="training crop extent (selftrain default 30)")
+    ap.add_argument("--train-ppt", type=str, default=None,
+                    help="training points-per-tree: int or 'lo:hi' range")
     args = ap.parse_args()
 
     import jax
@@ -53,6 +57,11 @@ def main():
     kw = {}
     if args.recipe_v is not None:
         kw["recipe_v"] = args.recipe_v
+    if args.crop_extent is not None:
+        kw["crop_extent"] = args.crop_extent
+    if args.train_ppt is not None:
+        kw["ppt"] = (tuple(int(x) for x in args.train_ppt.split(":"))
+                     if ":" in args.train_ppt else int(args.train_ppt))
     ckpt = selftrain.train_synthetic_checkpoint(
         dict(model_cfg), steps=args.steps, lr=args.lr, n_crops=args.crops,
         hard_frac=args.hard_frac, logger=log, log_every=200, **kw)

@@ -72,12 +72,12 @@ _ALIGN = 64
 _INTERPRET = os.environ.get("TL_PALLAS_INTERPRET", "0") == "1"
 
 # dz-select formulation (see _gather_bands):
-#   "roll"   — full-128-lane: per-row lane offset o = m + dd - dz in {-2..1},
-#              4x (compare + select) over lane-rolled copies of the (T, 4C)
-#              gather row; every op is register-aligned (no 96/32-lane views)
-#   "legacy" — round-3 4-phase select into a (T, 3C) plane; kept for A/B
-#              ablation (scripts/ablate_conv6.py)
-_SELECT_MODE = os.environ.get("TL_CONV_SELECT", "roll")
+#   "legacy" — round-3 4-phase select into a (T, 3C) plane (production)
+#   "roll"   — full-128-lane miss-form: per-row miss-count chained lane
+#              rolls of the (T, 4C) gather row; rolls run in f32 (Mosaic's
+#              tpu.dynamic_rotate is unimplemented for bf16).  A/B via
+#              scripts/ablate_conv6.py before promoting.
+_SELECT_MODE = os.environ.get("TL_CONV_SELECT", "legacy")
 
 
 def _sel_groups() -> int:
@@ -244,14 +244,16 @@ def _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems, consume,
                 lane4 == 0, miss[0][:, None],
                 jnp.where(lane4 == 1, miss[1][:, None],
                           jnp.where(lane4 == 2, miss[2][:, None], -1.0)))
-            a1 = pltpu.roll(g, shift=3 * c_unit, axis=1)   # group dz <- g[dz+1]
-            A = jnp.where((m == 1)[:, None], a1, g)
+            # rolls in f32: Mosaic's lane rotate is 32-bit-only
+            gf = g.astype(jnp.float32)
+            a1 = pltpu.roll(gf, shift=3 * c_unit, axis=1)  # group dz <- g[dz+1]
+            A = jnp.where((m == 1)[:, None], a1, gf)
             sel_cat = jnp.where(mp == 0, A, 0)
             Ar = pltpu.roll(A, shift=c_unit, axis=1)       # group dz <- A[dz-1]
             sel_cat = sel_cat + jnp.where(mp == 1, Ar, 0)
             Arr = pltpu.roll(Ar, shift=c_unit, axis=1)
             sel_cat = sel_cat + jnp.where(mp == 2, Arr, 0)
-            consume(b, sel_cat)                              # (T, 4*c_unit)
+            consume(b, sel_cat.astype(jnp.bfloat16))         # (T, 4*c_unit)
             return _
 
         # legacy fused wide select: one (T, 3*c_unit) phase plane serves all

@@ -41,6 +41,7 @@ def train_synthetic_checkpoint(
     log_every: int = 50,
     hard_frac: float = 0.5,
     recipe_v: int = 5,
+    ppt=9000,
 ) -> str:
     """Train ``model_cfg`` on synthetic crops; return a checkpoint path.
 
@@ -69,6 +70,8 @@ def train_synthetic_checkpoint(
               "crop_extent": crop_extent, "seed0": seed0, "v": recipe_v}
     if hard_frac != 0.5:
         recipe["hard_frac"] = hard_frac
+    if ppt != 9000:
+        recipe["ppt"] = ppt
     mc = dict(model_cfg)
     # training-time spatial bound for the crop extent (the dense probe
     # tables scale with it; the checkpoint is shape-independent)
@@ -85,14 +88,21 @@ def train_synthetic_checkpoint(
     t0 = time.time()
     crops_dir = tempfile.mkdtemp(prefix="selftrain_crops_")
     n_easy = max(int(round(n_crops * (1.0 - hard_frac))), 1)
+    ppt_rng = np.random.default_rng(seed0)
     for i in range(n_crops):
         # mixed easy cones / hard-mode geometry (interlocking crowns,
         # understory, occlusion, density gradients) so the checkpoint is a
         # meaningful anchor for BOTH benchmark passes; hard_frac sets the mix
         gen = make_synthetic_forest if i < n_easy else make_synthetic_forest_hard
+        # ppt as a (lo, hi) pair randomizes per-crop point density: the
+        # occupancy-only model (use_feats/use_coords false) is density-
+        # sensitive, and the benchmark plots run ~2x denser than the round-3
+        # fixed 9000-ppt recipe trained at
+        crop_ppt = (int(ppt_rng.integers(ppt[0], ppt[1] + 1))
+                    if isinstance(ppt, (tuple, list)) else int(ppt))
         data, _ = gen(
             n_trees=max(int(crop_extent * crop_extent / 75), 3),
-            extent=crop_extent, points_per_tree=9000,
+            extent=crop_extent, points_per_tree=crop_ppt,
             ground_points=int(crop_extent * crop_extent * 55),
             seed=seed0 + i)
         data[:, :2] -= crop_extent / 2.0  # crops are xy-centered
