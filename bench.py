@@ -268,7 +268,11 @@ def main():
     t0 = time.time()
     result = run_treelearn_pipeline(config)
     cold_elapsed = time.time() - t0
-    log(f"cold pass: {cold_elapsed:.1f}s — rerunning for steady state")
+    cold_stages = dict(result.get("stage_seconds", {}))
+    cold_model = {k: result.get("model_timings", {}).get(k)
+                  for k in ("compile_s", "timing_rerun_s")}
+    log(f"cold pass: {cold_elapsed:.1f}s — stages {cold_stages} "
+        f"model {cold_model} — rerunning for steady state")
     # several steady passes, keep the fastest: the tunneled device's host
     # link load varies minute to minute (identical passes measured 12.7 s
     # and 25.6 s), and the steady state of a resident service is the
@@ -469,6 +473,8 @@ def main():
         "seconds": round(elapsed, 1),
         "cold_seconds": round(cold_elapsed, 1),
         "cold_mpts_per_sec": round(n_points / cold_elapsed / 1e6, 4),
+        "cold_stage_seconds": cold_stages,
+        "cold_model_compile_seconds": cold_model.get("compile_s"),
         **({"prewarm_seconds": prewarm_seconds}
            if prewarm_seconds is not None else {}),
         "n_trees_found": result["n_trees"],
