@@ -155,19 +155,55 @@ def make_synthetic_forest_hard(
              r_trunk * np.sin(theta) + lean[1] * z_trunk,
              z_trunk])
 
-        # ellipsoidal crown, wide enough to interlock with 1.1-2.5 m spacing
+        # branch-structured crown inside an interlocking ellipsoid envelope.
+        # Real MLS canopies (the L1W benchmark) put points ON branches and
+        # foliage clumps contiguous with their trunk — the connectivity cue
+        # the offset head actually learns from.  A volume-uniform ellipsoid
+        # (the round-3 generator) makes crown membership multi-modal in the
+        # overlap zones with NO geometric cue, which collapses any
+        # L2-trained offset to the mean of the candidate trunks.  The
+        # envelope (and hence the interlocking) is unchanged; only the
+        # interior structure is branchy now, plus a diffuse fog fraction
+        # that keeps residual ambiguity.
         cz = height * rng.uniform(0.55, 0.75)
         rx = rng.uniform(1.6, 3.2)
         ry = rx * rng.uniform(0.75, 1.3)
         rz = height * rng.uniform(0.25, 0.42)
-        u = rng.uniform(0, 1, n_crown) ** (1.0 / 3.0)  # volume-uniform
-        phi = rng.uniform(0, 2 * np.pi, n_crown)
-        cost = rng.uniform(-1, 1, n_crown)
+        n_fog = int(n_crown * 0.15)
+        n_br_pts = n_crown - n_fog
+
+        n_branch = int(rng.integers(24, 48))
+        v_att = rng.uniform(-0.85, 0.9, n_branch)          # height in envelope
+        s_env = np.sqrt(np.maximum(1.0 - v_att ** 2, 0.0))  # radius profile
+        psi = rng.uniform(0, 2 * np.pi, n_branch)
+        reach = rng.uniform(0.6, 1.0, n_branch)             # fraction of envelope
+        z_att = cz + v_att * rz
+        att = np.column_stack([lean[0] * z_att, lean[1] * z_att, z_att])
+        tip = att + np.column_stack([
+            reach * s_env * rx * np.cos(psi),
+            reach * s_env * ry * np.sin(psi),
+            rng.uniform(-0.08, 0.35, n_branch)
+            * np.linalg.norm(np.column_stack(
+                [reach * s_env * rx, reach * s_env * ry]), axis=1)])
+        blen = np.linalg.norm(tip - att, axis=1) + 1e-6
+        # points per branch proportional to its length; along-branch
+        # position biased to the tip (foliage), jitter growing tipward
+        alloc = rng.multinomial(n_br_pts, blen / blen.sum())
+        br_idx = np.repeat(np.arange(n_branch), alloc)
+        tpos = rng.uniform(0, 1, n_br_pts) ** 0.7
+        sigma = 0.08 + 0.38 * tpos
+        bpts = (att[br_idx] + tpos[:, None] * (tip - att)[br_idx]
+                + rng.normal(0, 1, (n_br_pts, 3)) * sigma[:, None])
+
+        u = rng.uniform(0, 1, n_fog) ** (1.0 / 3.0)        # residual fog
+        phi = rng.uniform(0, 2 * np.pi, n_fog)
+        cost = rng.uniform(-1, 1, n_fog)
         sint = np.sqrt(1 - cost ** 2)
-        crown = base + np.column_stack([
+        fog = np.column_stack([
             u * rx * sint * np.cos(phi) + lean[0] * cz,
             u * ry * sint * np.sin(phi) + lean[1] * cz,
             u * rz * cost + cz])
+        crown = base + np.vstack([bpts, fog])
 
         clouds.append(np.vstack([trunk, crown]))
         labels.append(np.full(points_per_tree, t + 1, np.int64))

@@ -244,10 +244,14 @@ def _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems, consume,
                 lane4 == 0, miss[0][:, None],
                 jnp.where(lane4 == 1, miss[1][:, None],
                           jnp.where(lane4 == 2, miss[2][:, None], -1.0)))
-            # rolls in f32: Mosaic's lane rotate is 32-bit-only
+            # rolls in f32: Mosaic's lane rotate is 32-bit-only.  The m
+            # predicate is materialized full-width from int32 — a (T,) bool
+            # reshaped to (T,1) hits Mosaic's "minor-dim insertion is
+            # 32-bit-only" wall
             gf = g.astype(jnp.float32)
             a1 = pltpu.roll(gf, shift=3 * c_unit, axis=1)  # group dz <- g[dz+1]
-            A = jnp.where((m == 1)[:, None], a1, gf)
+            m_plane = jnp.broadcast_to(m[:, None], (tile, 4 * c_unit))
+            A = jnp.where(m_plane == 1, a1, gf)
             sel_cat = jnp.where(mp == 0, A, 0)
             Ar = pltpu.roll(A, shift=c_unit, axis=1)       # group dz <- A[dz-1]
             sel_cat = sel_cat + jnp.where(mp == 1, Ar, 0)

@@ -40,7 +40,7 @@ def train_synthetic_checkpoint(
     logger=None,
     log_every: int = 50,
     hard_frac: float = 0.5,
-    recipe_v: int = 5,
+    recipe_v: int = 7,  # v7: branch-structured hard-crown generator
     ppt=9000,
 ) -> str:
     """Train ``model_cfg`` on synthetic crops; return a checkpoint path.
