@@ -73,7 +73,7 @@ def _decompose_model_step(config, work, log):
 
     vox_path = os.path.join(
         work, "plot",
-        f"forests_voxelized{config.sample_generation.voxel_size}",
+        f"forest_voxelized{config.sample_generation.voxel_size}",
         "bench_forest_centered.npz")
     vox = np.load(vox_path)
     pts = vox["points"].astype(np.float64)

@@ -18,6 +18,7 @@ cost analysis provides the FLOPs for the MFU report.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -45,6 +46,90 @@ _PARAMS_DEVICE_CACHE: Dict[tuple, tuple] = {}
 # measurement re-dispatches the full eval step 3x (~1.5-2.5 s through the
 # tunnel) — pay it once per compiled program, not once per plot
 _PURE_STEP_TIMINGS: Dict[tuple, dict] = {}
+
+# Executable disk cache: the XLA *persistent compile cache* only skips
+# backend_compile — a fresh process still pays trace + lower + cache-key +
+# executable upload (measured 39-106 s for the whole-plot eval step through
+# the tunnel, and the cross-process cache key is not even stable for this
+# program).  Serializing the compiled executable itself
+# (jax.experimental.serialize_executable) cuts a fresh process's first
+# inference to deserialize (0.8 s) + first call (2.3 s).  Keyed on the step
+# parameters AND a content hash of the compute-path sources, so editing any
+# kernel invalidates the artifacts.  TL_EXEC_CACHE=0 disables.
+_EXEC_CACHE_DIR = (os.environ.get("TL_EXEC_CACHE_DIR",
+                                  os.path.expanduser("~/.cache/treelearn_exec"))
+                   if os.environ.get("TL_EXEC_CACHE", "1") != "0" else None)
+_EXEC_CACHE_KEEP = 8  # LRU file cap (~128 MB per whole-plot executable)
+_CODE_FPRINT = None
+
+
+def _code_fingerprint() -> str:
+    """Content hash of every source file the eval-step program is built
+    from (ops/ + model/ + train/loop.py)."""
+    global _CODE_FPRINT
+    if _CODE_FPRINT is None:
+        import glob
+        import hashlib
+
+        h = hashlib.sha1()
+        osp = os.path
+        root = osp.dirname(osp.dirname(osp.abspath(__file__)))
+        files = sorted(glob.glob(osp.join(root, "ops", "*.py"))
+                       + glob.glob(osp.join(root, "model", "*.py"))
+                       + [osp.join(root, "train", "loop.py")])
+        for p in files:
+            with open(p, "rb") as f:
+                h.update(f.read())
+        _CODE_FPRINT = h.hexdigest()[:16]
+    return _CODE_FPRINT
+
+
+def _exec_cache_path(key: tuple) -> Optional[str]:
+    if _EXEC_CACHE_DIR is None:
+        return None
+    import hashlib
+
+    blob = repr((key, jax.__version__, jax.devices()[0].device_kind,
+                 _code_fingerprint()))
+    return os.path.join(
+        _EXEC_CACHE_DIR,
+        f"eval_{hashlib.sha1(blob.encode()).hexdigest()[:20]}.xc")
+
+
+def _exec_cache_load(path: str):
+    """Deserialize a compiled eval step; returns callable or raises."""
+    import pickle
+
+    from jax.experimental.serialize_executable import deserialize_and_load
+
+    with open(path, "rb") as f:
+        payload, in_tree, out_tree = pickle.load(f)
+    compiled = deserialize_and_load(payload, in_tree, out_tree)
+    os.utime(path)  # LRU touch
+    return lambda params, state, jbatch: compiled(params, state, jbatch)
+
+
+def _exec_cache_save(path: str, compiled) -> None:
+    """Best-effort write + LRU prune of the executable cache dir."""
+    import pickle
+
+    from jax.experimental.serialize_executable import serialize
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload, in_tree, out_tree = serialize(compiled)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump((payload, in_tree, out_tree), f)
+    os.replace(tmp, path)
+    entries = sorted(
+        (os.path.join(os.path.dirname(path), e)
+         for e in os.listdir(os.path.dirname(path)) if e.endswith(".xc")),
+        key=os.path.getmtime)
+    for stale in entries[:-_EXEC_CACHE_KEEP]:
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
 
 
 def _pow2(x: int) -> int:
@@ -371,28 +456,51 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
                str(compute_dtype),
                need_backbone, n, batch["batch_size"], inner_cap)
         if key not in step_cache:
-            if logger:
-                logger.info(f"compiling eval step for bucket {key[-3:]}")
             t0 = time.time()
-            step = make_eval_step(model, batch_size=batch["batch_size"],
-                                  voxel_capacity=voxel_capacity,
-                                  compute_dtype=compute_dtype,
-                                  inner_capacity=inner_cap,
-                                  need_backbone=need_backbone,
-                                  level_capacities=level_capacities)
-            # deliberately NOT step.lower(...).compile(): in jax 0.9, AOT
-            # lowering a program whose trace closed over concrete device
-            # arrays (hoisted constants) poisons the jit's executable cache —
-            # subsequent calls fail a buffer-count check ("supplied 96
-            # buffers but compiled program expected 100").  The first real
-            # call compiles through the normal jit path (and the persistent
-            # compile cache); its wall time is compile-dominated and is what
-            # compile_s reports.
+            step = None
+            exec_path = _exec_cache_path(key)
+            if exec_path and os.path.isfile(exec_path):
+                try:
+                    step = _exec_cache_load(exec_path)
+                    if logger:
+                        logger.info(f"eval step for bucket {key[-3:]} loaded "
+                                    f"from executable cache "
+                                    f"({time.time()-t0:.1f}s)")
+                except Exception as e:  # stale/foreign artifact: recompile
+                    if logger:
+                        logger.info(f"executable cache load failed "
+                                    f"({type(e).__name__}: {e}); compiling")
+                    step = None
+            if step is None:
+                if logger:
+                    logger.info(f"compiling eval step for bucket {key[-3:]}")
+                built = make_eval_step(model, batch_size=batch["batch_size"],
+                                       voxel_capacity=voxel_capacity,
+                                       compute_dtype=compute_dtype,
+                                       inner_capacity=inner_cap,
+                                       need_backbone=need_backbone,
+                                       level_capacities=level_capacities)
+                # AOT lower+compile of the PACKED program, then call the
+                # Compiled directly — the jit __call__ is never used, which
+                # sidesteps the jax-0.9 hoisted-constant cache poisoning
+                # that forbade mixing AOT with jit dispatch, and hands us
+                # the executable object to serialize into the disk cache.
+                inner = getattr(built, "packed", built)
+                compiled = inner.lower(params, state, jbatch).compile()
+                step = (lambda c: lambda p, s, b: c(p, s, b))(compiled)
+                if exec_path:
+                    try:
+                        _exec_cache_save(exec_path, compiled)
+                    except Exception as e:  # cache write is best-effort
+                        if logger:
+                            logger.info(f"executable cache save failed: "
+                                        f"{type(e).__name__}: {e}")
             jax.block_until_ready(step(params, state, jbatch))
             dt = time.time() - t0
             tm["compile_s"] += dt
             if logger:
-                logger.info(f"compiled bucket {key[-3:]} in {dt:.1f}s")
+                logger.info(f"eval step for bucket {key[-3:]} ready "
+                            f"in {dt:.1f}s")
             step_cache[key] = step
         eval_step = step_cache[key]
 
