@@ -104,7 +104,12 @@ def _exec_cache_load(path: str):
 
     with open(path, "rb") as f:
         payload, in_tree, out_tree = pickle.load(f)
-    compiled = deserialize_and_load(payload, in_tree, out_tree)
+    # execution_devices must be pinned to the single device the program was
+    # compiled for: the default (all client devices) mis-restores the device
+    # assignment on a multi-device client (e.g. the 8-CPU test mesh) and the
+    # loaded executable then demands 8-sharded args.
+    compiled = deserialize_and_load(payload, in_tree, out_tree,
+                                    execution_devices=[jax.devices()[0]])
     os.utime(path)  # LRU touch
     return lambda params, state, jbatch: compiled(params, state, jbatch)
 
@@ -458,10 +463,16 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         if key not in step_cache:
             t0 = time.time()
             step = None
+            validated = False
             exec_path = _exec_cache_path(key)
             if exec_path and os.path.isfile(exec_path):
                 try:
                     step = _exec_cache_load(exec_path)
+                    # first call validates INSIDE the fallback: a stale or
+                    # foreign artifact can deserialize fine and still fail
+                    # at execute (device-assignment mismatch)
+                    jax.block_until_ready(step(params, state, jbatch))
+                    validated = True
                     if logger:
                         logger.info(f"eval step for bucket {key[-3:]} loaded "
                                     f"from executable cache "
@@ -495,7 +506,8 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
                         if logger:
                             logger.info(f"executable cache save failed: "
                                         f"{type(e).__name__}: {e}")
-            jax.block_until_ready(step(params, state, jbatch))
+            if not validated:
+                jax.block_until_ready(step(params, state, jbatch))
             dt = time.time() - t0
             tm["compile_s"] += dt
             if logger:
