@@ -447,16 +447,20 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
             preds_to_return[not_yet_propagated] = propagate_preds(
                 coords, instance_preds, coords_to_return[not_yet_propagated], 5)
 
-    with substage("decenter_f64", logger):
-        coords_to_return = coords_to_return.astype(np.float64) + xyz_mean
+    with substage("decenter_pack_f64", logger):
+        # one fused pass: de-center (f32 + f64 mean upcasts) straight into
+        # the (N, 4) output block — the separate astype + hstack cost two
+        # extra 240 MB temporaries and ~3 s at 10M points on the 1-core host
+        out = np.empty((len(coords_to_return), 4), np.float64)
+        np.add(coords_to_return, xyz_mean, out=out[:, :3])
+        out[:, 3] = np.asarray(preds_to_return)
+        coords_to_return = out[:, :3]
     _stage("propagate")
 
     # save
     logger.info(f"{plot_name}: #################### Saving ####################")
     full_dir = osp.join(results_dir, "full_forest")
     os.makedirs(full_dir, exist_ok=True)
-    with substage("hstack_out", logger):
-        out = np.hstack([coords_to_return, np.asarray(preds_to_return)[:, None]])
     for save_format in config.save_cfg.save_formats:
         with substage(f"save_data[{save_format}]", logger):
             save_data(out, save_format, plot_name, full_dir)
