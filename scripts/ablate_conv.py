@@ -1,17 +1,28 @@
-"""Ablate the banded subm-conv kernel stages to locate the bottleneck.
+"""Banded subm-conv kernel ablations (consolidated, VERDICT r4 item 9).
 
-Variants (all same grid/DMA structure, consume() altered):
-  full     — the real kernel
-  nosel    — skip the 2p-way lane-group select: use g_lo slices directly
-  noonehot — skip the one-hot MXU gathers: use static window rows
-  dmaonly  — skip gather+select: feed zeros to the weight GEMM
-  noloop   — no DMA, no gather: zeros through weight GEMM only
+Two modes:
+  --stages (default)  locate the bottleneck by stage: variants share the
+      grid/DMA structure with consume() altered —
+        full / nosel / noonehot / dmaonly / noloop
+  --select            production select-form comparison: legacy 4-phase vs
+      miss-form roll select (TL_CONV_SELECT binds at import, so each mode
+      runs in a subprocess; prints a side-by-side table).
+
+Superseded generations (findings in docs/performance.md, code in git history
+@ 55d0239): ablate_conv2 (widesel/slotgemm redesigns — unaligned 96-lane
+views force Mosaic relayouts, slower), ablate_conv3 (aligned/restructured
+phase selects — lane alignment is not the cost), ablate_conv4 (staged select
++ pipelining — select is at the VPU vreg-op roofline), ablate_conv5
+(dy-shared windows — window sharing holds but batched trio GEMMs lose to
+per-band), plus the premise probes check_trio_spread / probe_lane_gather.
 """
 
+import functools
 import os
+import os.path as osp
+import subprocess
 import sys
 import time
-import functools
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,9 +36,9 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from treelearn_tpu.data.synthetic import make_synthetic_forest
+from treelearn_tpu.ops.pallas_conv import _band_weight, _pack_feats, rule_spans
 from treelearn_tpu.ops.sparse import (build_dense_table, build_subm_rulebook,
                                       grid_from_sorted_keys)
-from treelearn_tpu.ops.pallas_conv import rule_spans, _pack_feats, _band_weight
 
 TILE = int(os.environ.get('ABL_TILE', 256))
 WINDOW = int(os.environ.get('ABL_WINDOW', 1024))
@@ -155,7 +166,7 @@ def run_variant(lo, n_live, rd, feats_p, w_band, variant):
     return jnp.sum(out).astype(jnp.float32)
 
 
-def main():
+def main_stages():
     capacity = 1 << 19
     data, _ = make_synthetic_forest(n_trees=48, extent=60.0, points_per_tree=9000,
                                     ground_points=968000 - 48 * 9000, seed=3)
@@ -194,15 +205,19 @@ def main():
     print(f"RTT {rtt*1e3:.1f}ms")
 
     from treelearn_tpu.ops.pallas_conv import subm_conv_banded
-    fullsets = [jnp.asarray(rng.normal(size=(1 << 19, 32)).astype(np.float32), jnp.bfloat16) for _ in range(3)]
-    fn = jax.jit(lambda f_, sp: jnp.sum(subm_conv_banded(f_, w, rule, g0.live_mask, tile=TILE, window=WINDOW, spans=sp)).astype(jnp.float32))
+    fullsets = [jnp.asarray(rng.normal(size=(1 << 19, 32)).astype(np.float32),
+                            jnp.bfloat16) for _ in range(3)]
+    fn = jax.jit(lambda f_, sp: jnp.sum(subm_conv_banded(
+        f_, w, rule, g0.live_mask, tile=TILE, window=WINDOW,
+        spans=sp)).astype(jnp.float32))
     spans2 = jax.jit(lambda r: rule_spans(r, TILE, WINDOW, 1 << 19))(rule)
     float(fn(fullsets[0], spans2))
     best = 1e9
-    import time as _t
     for i in range(4):
-        t0 = _t.perf_counter(); float(fn(fullsets[i % 3], spans2)); best = min(best, _t.perf_counter() - t0)
-    print(f"prod widesel {max(best-rtt,0)*1e3:7.1f} ms")
+        t0 = time.perf_counter()
+        float(fn(fullsets[i % 3], spans2))
+        best = min(best, time.perf_counter() - t0)
+    print(f"prod      {max(best-rtt,0)*1e3:7.1f} ms")
     for variant in ("full", "nosel", "noonehot", "dmaonly", "noloop"):
         float(run_variant(spans.lo, n_live, spans.rd, fsets[0], w_band, variant))
         best = 1e9
@@ -214,7 +229,87 @@ def main():
         print(f"{variant:9s} {max(best-rtt,0)*1e3:7.1f} ms")
 
 
+def run_select_one():
+    mode = os.environ.get("TL_CONV_SELECT", "roll")
+    from treelearn_tpu.ops.pallas_conv import subm_conv_banded
+
+    capacity = 1 << 17
+    data, _ = make_synthetic_forest(n_trees=48, extent=60.0,
+                                    points_per_tree=9000,
+                                    ground_points=968000 - 48 * 9000, seed=3)
+    xyz = data[:, :3].astype(np.float32)
+    xyz -= xyz.min(0)
+    keys = np.unique((np.floor(xyz / 0.1).astype(np.int64)
+                      @ np.array([640 * 192, 192, 1], np.int64)))
+    rng = np.random.default_rng(0)
+    n = min(len(keys), 114576)  # L0 count of the bench plot
+    keys = np.sort(rng.choice(keys, n, replace=False))
+    keys_pad = np.full(capacity, np.iinfo(np.int32).max, np.int32)
+    keys_pad[:n] = keys
+    k0 = jnp.asarray(keys_pad)
+    g0 = grid_from_sorted_keys(
+        k0, jnp.asarray(np.array([640, 640, 192], np.int32)), jnp.int32(n))
+    table = build_dense_table(g0, 640 * 640 * 192)
+    rule = jax.jit(lambda g, t: build_subm_rulebook(g, 3, dense_table=t))(
+        g0, table)
+    live = jnp.arange(capacity) < n
+    spans = jax.jit(lambda r: rule_spans(r, 256, 768, capacity))(rule)
+    ok = bool(np.asarray(spans.ok))
+
+    # vary inputs per repetition and force one scalar D2H: identical
+    # re-dispatches are deduped server-side and block_until_ready can no-op
+    # through the tunnel (docs/performance.md profiling discipline)
+    rtt_probe = jax.jit(lambda x: x + 1.0)
+    float(rtt_probe(jnp.float32(0)))
+    rtt = float("inf")
+    for i in range(1, 4):
+        t0 = time.time()
+        float(rtt_probe(jnp.float32(i)))
+        rtt = min(rtt, time.time() - t0)
+
+    for cin, cout in ((32, 32), (64, 64)):
+        feats = jax.device_put(
+            rng.standard_normal((capacity, cin)).astype(np.float32))
+        weight = jax.device_put(
+            (rng.standard_normal((27, cin, cout)) * 0.1).astype(np.float32))
+
+        CHAIN = 32  # amortize the 25-45 ms tunnel RTT over many kernels
+
+        @jax.jit
+        def conv_chain(f, eps):
+            def body(_, x):
+                y = subm_conv_banded(x, weight, rule, live, 256, 768,
+                                     spans=spans)
+                # renormalize so the chain neither explodes nor denorms
+                return y * jax.lax.rsqrt(
+                    jnp.mean(jnp.square(y)).astype(y.dtype) + 1e-12)
+            out = jax.lax.fori_loop(0, CHAIN, body, f + eps)
+            return jnp.sum(out[:8, :8].astype(jnp.float32))
+
+        float(conv_chain(feats, jnp.float32(0)))  # compile
+        best = float("inf")
+        for i in range(1, 6):
+            t0 = time.time()
+            float(conv_chain(feats, jnp.float32(i * 1e-4)))
+            best = min(best, time.time() - t0)
+        dt = (best - rtt) / CHAIN
+        print(f"[{mode}] cap {capacity} cin {cin} cout {cout} n_vox {n} "
+              f"spans_ok {ok}: {dt*1e3:.2f} ms/conv (chain {CHAIN}, "
+              f"rtt {rtt*1e3:.1f})", flush=True)
+
+
+def main():
+    if "--one" in sys.argv:
+        run_select_one()
+        return
+    if "--select" in sys.argv:
+        for mode in ("legacy", "roll"):
+            env = dict(os.environ, TL_CONV_SELECT=mode)
+            subprocess.run([sys.executable, osp.abspath(__file__), "--one"],
+                           env=env, check=False)
+        return
+    main_stages()
+
+
 if __name__ == "__main__":
     main()
-
-# --- variant experiments appended: widesel (T,96 fused select), slotgemm ----

@@ -18,7 +18,8 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from treelearn_tpu.config import get_config
-from treelearn_tpu.train.selftrain import train_synthetic_checkpoint
+from treelearn_tpu.train.selftrain import (BENCH_RECIPE,
+                                           train_synthetic_checkpoint)
 
 T0 = time.time()
 
@@ -30,10 +31,11 @@ def log(msg):
 config = get_config(os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "configs", "pipeline", "pipeline.yaml"))
-steps = int(os.environ.get("BENCH_TRAIN_STEPS", 6000))
-path = train_synthetic_checkpoint(
-    dict(config.model), steps=steps,
-    n_crops=int(os.environ.get("BENCH_TRAIN_CROPS", 192)),
-    hard_frac=0.8, crop_extent=24.0, ppt=(10000, 16000), lr=1.5e-3,
-    logger=log)
+# the ONE shared recipe (ADVICE r4): bench.py passes the same dict, so the
+# checkpoint-cache fingerprint cannot drift between this script and the bench
+recipe = dict(BENCH_RECIPE)
+recipe["steps"] = int(os.environ.get("BENCH_TRAIN_STEPS", recipe["steps"]))
+recipe["n_crops"] = int(os.environ.get("BENCH_TRAIN_CROPS",
+                                       recipe["n_crops"]))
+path = train_synthetic_checkpoint(dict(config.model), logger=log, **recipe)
 log(f"checkpoint ready: {path}")

@@ -64,8 +64,10 @@ _CODE_FPRINT = None
 
 
 def _code_fingerprint() -> str:
-    """Content hash of every source file the eval-step program is built
-    from (ops/ + model/ + train/loop.py)."""
+    """Content hash of every source file an eval-step program can be built
+    through (ops/ + model/ + parallel/ + train/loop.py) — parallel/ included
+    because the DP inference step (parallel/mesh.py) wraps the same program
+    (VERDICT r4 item 6)."""
     global _CODE_FPRINT
     if _CODE_FPRINT is None:
         import glob
@@ -76,6 +78,7 @@ def _code_fingerprint() -> str:
         root = osp.dirname(osp.dirname(osp.abspath(__file__)))
         files = sorted(glob.glob(osp.join(root, "ops", "*.py"))
                        + glob.glob(osp.join(root, "model", "*.py"))
+                       + glob.glob(osp.join(root, "parallel", "*.py"))
                        + [osp.join(root, "train", "loop.py")])
         for p in files:
             with open(p, "rb") as f:
