@@ -220,3 +220,64 @@ def test_hdbscan_large_weighted_core_distance_oracle():
     full = np.sqrt(((cells[:, None, :] - rep[None, :, :]) ** 2).sum(-1))
     oracle = np.sort(full, axis=1)[:, k - 1]
     np.testing.assert_allclose(core, oracle, rtol=1e-5, atol=1e-6)
+
+
+def test_hdbscan_large_dense_knots_no_oversegmentation():
+    """Regression pin (round-5 fix): offset-shifted tree bases quantize into
+    heavy zero-core cells; without the ladder's quantization-scale floor the
+    condensed tree resolves below the cell size and every dense cell splits
+    off as its own maximally-stable cluster (measured 188 preds / 48 gt on
+    the bench plot)."""
+    from treelearn_tpu.ops.hdbscan import hdbscan_cluster_large
+
+    n_knots = 24
+    rng = np.random.default_rng(5)
+    centers = rng.uniform(0, 80, (n_knots, 2)).astype(np.float32)
+    knots = (centers[:, None, :]
+             + rng.normal(0, 0.15, (n_knots, 1500, 2))).reshape(-1, 2)
+    clutter = rng.uniform(0, 80, (8000, 2))
+    pts = np.concatenate([knots, clutter]).astype(np.float32)
+    labels = hdbscan_cluster_large(pts, 50)
+    n_clusters = len(np.unique(labels[labels >= 0]))
+    assert n_knots <= n_clusters <= int(1.3 * n_knots), n_clusters
+    # each knot lands in one dominant cluster
+    knot_ids = np.repeat(np.arange(n_knots), 1500)
+    for kn in range(n_knots):
+        vals, cnts = np.unique(labels[: n_knots * 1500][knot_ids == kn],
+                               return_counts=True)
+        assert cnts.max() >= 1200 and vals[cnts.argmax()] >= 0
+
+
+def test_hdbscan_device_path_coarsening_above_50k(monkeypatch):
+    """The eps-ladder device path with hierarchical per-level coarsening
+    (ops/hdbscan.py:_level_components) at a size above the old 50k ceiling:
+    cluster recovery must match sklearn (ARI), exercising _coarse_reps and
+    the explicit nesting union on the CPU engine.  The >=200k on-device run
+    is recorded by the bench's tpu_smoke (hdbscan_device_220k)."""
+    from sklearn.cluster import HDBSCAN
+
+    monkeypatch.setenv("TL_HDBSCAN_DEVICE_MAX", str(1 << 20))
+    n_knots = 30
+    rng = np.random.default_rng(6)
+    centers = rng.uniform(0, 100, (n_knots, 2)).astype(np.float32)
+    knots = (centers[:, None, :]
+             + rng.normal(0, 0.2, (n_knots, 1800, 2))).reshape(-1, 2)
+    clutter = rng.uniform(0, 100, (6000, 2))
+    pts = np.concatenate([knots, clutter]).astype(np.float32)  # 60k
+    labels = hdbscan_cluster(pts, min_cluster_size=50,
+                             not_assigned_label=-1, start_num=1)
+    oracle = HDBSCAN(min_cluster_size=50).fit(pts).labels_
+    assert _ari(labels, oracle) > 0.9
+    n_ours = len(np.unique(labels[labels >= 1]))
+    assert n_knots <= n_ours <= int(1.3 * n_knots), n_ours
+
+
+def test_union_nested_enforces_hierarchy():
+    from treelearn_tpu.ops.hdbscan import _union_nested
+
+    prev = np.array([-1, 0, 0, 5, 5, -1, 7], np.int32)
+    cur = np.array([1, 1, 2, 2, 3, 3, -1], np.int32)
+    out = _union_nested(prev, cur)
+    # prev comp 0 spans cur {1, 2}; prev comp 5 spans cur {2, 3} -> all merge
+    assert out[0] == out[1] == out[2] == out[3] == out[4] == out[5]
+    assert out[6] == -1

@@ -338,12 +338,13 @@ def level_tile_window(channels: int, capacity: int = 1 << 19):
     centered plots; overflows still fall back exactly via the spans-ok
     flag), floored at 512 and 128-aligned for the rd builder.  Tile floors
     at 128 (Mosaic requires 128-divisible lane blocks for the (9, tile) rd
-    tiles) and grows with capacity so the scalar-prefetched
-    (9, capacity/tile) window-start table stays within TPU SMEM (16384
-    tiles measured 1.1 KB over the 1 MB budget; 8192 fits).  C<=32 uses
-    tile 256 (measured faster than 128/512 at the hot L0 shape:
-    scripts/ablate_conv4.py)."""
-    tile = max(256 if channels <= 32 else 128, int(capacity) // 8192)
+    tiles); C<=32 uses tile 256 (measured faster than 128/512 at the hot L0
+    shape).  Tile no longer grows with capacity: the window-start table
+    streams as per-tile (8, 16) SMEM blocks (ops/pallas_conv.py:_lo_rows)
+    instead of being scalar-prefetched whole, so SMEM no longer bounds the
+    tile count — selection work per output voxel stays constant at every
+    whole-plot capacity (previously it grew 4x at 2^23)."""
+    tile = 256 if channels <= 32 else 128
     window = max(3 * tile, 512)
     window = ((window + 127) // 128) * 128
     return tile, window

@@ -111,56 +111,131 @@ def _ladder(core_d: np.ndarray, n_levels: int) -> np.ndarray:
     return np.geomspace(lo, hi, n_levels).astype(np.float64)
 
 
+def _coarse_reps(xy: np.ndarray, eps: float, factor: float = 8.0):
+    """Quantize active points onto an eps/``factor`` grid; returns
+    (reps (M, 2) f32 centroids, inverse (N,) int64 point->rep map).
+
+    Same-cell points are within cell-diagonal eps*sqrt(2)/factor < eps of
+    each other, so collapsing a cell to its centroid cannot split a
+    component; centroid-vs-point distances err by at most one cell diagonal
+    (~0.18*eps at factor 8), below the eps-ladder's own geomspace step.
+    This is what keeps the CC engines non-degenerate at coarse eps: the
+    representative count shrinks as eps grows (a whole plot in one CC cell
+    is ~(factor/sqrt2+1)^2 ~ 45 reps, never 200k raw points)."""
+    g = max(float(eps) / factor, 1e-4)
+    lo = xy.min(axis=0)
+    ix = np.floor((xy - lo) / g).astype(np.int64)
+    key = ix[:, 0] * (int(ix[:, 1].max()) + 2) + ix[:, 1]
+    uniq, inverse, counts = np.unique(key, return_inverse=True,
+                                      return_counts=True)
+    reps = np.zeros((len(uniq), 2), np.float64)
+    np.add.at(reps, inverse, xy)
+    reps /= counts[:, None]
+    return reps.astype(np.float32), inverse
+
+
+def _union_nested(prev_row: np.ndarray, cur_row: np.ndarray) -> np.ndarray:
+    """Enforce hierarchy nesting: union current-level components that share
+    a previous (finer) level component.  Replaces the engines' structural
+    guarantees (exactness / prev-seeding), which per-level coarsening breaks:
+    a centroid pair can fall just outside eps where the finer level already
+    merged the underlying points."""
+    m = cur_row >= 0
+    if not m.any():
+        return cur_row
+    labels_u, inv = np.unique(cur_row[m], return_inverse=True)
+    act = (prev_row >= 0) & m
+    if not act.any():
+        return cur_row
+    pair = np.unique(np.stack([prev_row[act], cur_row[act]], 1), axis=0)
+    cv = np.searchsorted(labels_u, pair[:, 1])
+    parent = np.arange(len(labels_u))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    pv = pair[:, 0]
+    start = np.ones(len(pv), bool)
+    start[1:] = pv[1:] != pv[:-1]  # pairs sorted by prev label (np.unique)
+    head = 0
+    for s, c in zip(start.tolist(), cv.tolist()):
+        if s:
+            head = c
+            continue
+        ra, rb = find(head), find(c)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    root = np.array([find(i) for i in range(len(labels_u))], np.int64)
+    out = cur_row.copy()
+    out[m] = labels_u[root[inv]]
+    return out
+
+
+def _cc_engine(pts: np.ndarray, eps: float, on_tpu: bool,
+               cell_cap: int) -> np.ndarray:
+    """Component labels (len(pts),) for one eps level: banded found-bits
+    kernel on TPU (ops/pallas_cc.py), padded XLA CC engine elsewhere."""
+    if on_tpu:
+        from .pallas_cc import cc_labels_banded
+
+        return cc_labels_banded(pts, float(eps)).astype(np.int64)
+    size = _pow2(max(len(pts), 1024))
+    pad = np.zeros((size, 2), np.float32)
+    pad[:len(pts)] = pts
+    val = np.zeros(size, bool)
+    val[:len(pts)] = True
+    comp = connected_components_2d(jnp.asarray(pad), jnp.asarray(val),
+                                   float(eps), cell_cap=cell_cap)
+    return np.asarray(comp)[:len(pts)].astype(np.int64)
+
+
 def _level_components(points_xy: np.ndarray, core_d: np.ndarray,
-                      eps_levels: np.ndarray, cell_cap: int = 64) -> np.ndarray:
+                      eps_levels: np.ndarray, cell_cap: int = 64,
+                      coarsen_above: int = 32768) -> np.ndarray:
     """(L, N) component labels, finest level first; -1 = inactive.
 
-    On TPU each level runs the exact banded found-bits kernel
-    (ops/pallas_cc.py) over the level's active subset — exactness makes the
-    partitions nested by construction (eps and the active set both grow), so
-    no cross-level seeding is needed.  The CPU path keeps the XLA CC engine
-    with previous-level seeding (its per-cell candidate sampling is
-    approximate)."""
+    Each level runs a CC engine over the level's active subset — on TPU the
+    exact banded found-bits kernel (ops/pallas_cc.py), on CPU the XLA CC
+    engine.  Above ``coarsen_above`` active points the subset is first
+    quantized onto an eps/8 grid and CC runs over cell centroids
+    (:func:`_coarse_reps`) — per-CC-cell occupancy is then bounded by ~45
+    regardless of how coarse eps gets, which is what lets the device path
+    scale past the old 50k ceiling (VERDICT r4 item 4).  Hierarchy nesting
+    is enforced explicitly (:func:`_union_nested`)."""
     import jax
 
     n = len(points_xy)
     out = np.empty((len(eps_levels), n), np.int32)
+    on_tpu = jax.default_backend() == "tpu"
 
-    if jax.default_backend() == "tpu":
-        from .pallas_cc import cc_labels_banded
-
-        for i, eps in enumerate(eps_levels):
-            # compare in f32 like the XLA path (core_d is f32; an f64 eps
-            # equal to a representable f32 would spuriously exclude points)
-            active = np.isfinite(core_d) & (core_d <= np.float32(eps))
-            row = np.full(n, -1, np.int32)
-            if active.any():
-                idx = np.where(active)[0]
-                comp = cc_labels_banded(points_xy[idx, :2].astype(np.float32),
-                                        float(eps))
-                # stable id: the minimum ORIGINAL index of the component
-                row[idx] = idx[comp]
-            out[i] = row
-        return out
-
-    size = _pow2(max(n, 1024))
-    pts = np.zeros((size, 2), np.float32)
-    pts[:n] = points_xy[:, :2]
-    pts_j = jnp.asarray(pts)
-    core_pad = np.full(size, np.inf, np.float32)
-    core_pad[:n] = core_d
-    core_j = jnp.asarray(core_pad)
-    base_valid = np.zeros(size, bool)
-    base_valid[:n] = True
-    base_valid_j = jnp.asarray(base_valid)
-
-    prev = None
+    prev_row = None
     for i, eps in enumerate(eps_levels):
-        active = base_valid_j & (core_j <= jnp.float32(eps))
-        comp = connected_components_2d(pts_j, active, float(eps),
-                                       cell_cap=cell_cap, prev_labels=prev)
-        out[i] = np.asarray(comp)[:n]
-        prev = comp
+        # compare in f32 (core_d is f32; an f64 eps equal to a representable
+        # f32 would spuriously exclude points)
+        active = np.isfinite(core_d) & (core_d <= np.float32(eps))
+        row = np.full(n, -1, np.int32)
+        idx = np.where(active)[0]
+        if len(idx):
+            xy = np.ascontiguousarray(points_xy[idx, :2], np.float32)
+            inverse = None
+            pts_cc = xy
+            if len(idx) > coarsen_above:
+                reps, inv_q = _coarse_reps(xy, float(eps))
+                if len(reps) <= 0.7 * len(idx):
+                    pts_cc, inverse = reps, inv_q
+            comp = _cc_engine(pts_cc, float(eps), on_tpu, cell_cap)
+            comp_pt = comp if inverse is None else comp[inverse]
+            # label values only need uniqueness within the level (the
+            # condensed-tree walk keys on (node, comp) pairs); engine labels
+            # are min-subset/rep-index, always < n+1
+            row[idx] = comp_pt.astype(np.int32)
+            if prev_row is not None:
+                row = _union_nested(prev_row, row)
+        out[i] = row
+        prev_row = row
     return out
 
 
@@ -354,7 +429,7 @@ def _quantize_weighted(points_xy: np.ndarray, target_cells: int = 40000,
     cells = np.zeros((m, 2), np.float64)
     np.add.at(cells, inverse, pts)
     cells /= counts[:, None]
-    return cells.astype(np.float32), counts.astype(np.float64), inverse
+    return cells.astype(np.float32), counts.astype(np.float64), inverse, cell
 
 
 def _weighted_core_distance(cells: np.ndarray, w: np.ndarray, k: int,
@@ -496,7 +571,8 @@ def hdbscan_cluster_large(points_xy: np.ndarray, min_cluster_size: int,
     m = int(min_cluster_size)
     k = m if min_samples is None else int(min_samples)
 
-    cells, w, inverse = _quantize_weighted(pts, target_cells=target_cells)
+    cells, w, inverse, cell_sz = _quantize_weighted(pts,
+                                                    target_cells=target_cells)
     from scipy.spatial import cKDTree
 
     tree = cKDTree(cells)
@@ -510,7 +586,14 @@ def hdbscan_cluster_large(points_xy: np.ndarray, min_cluster_size: int,
         # — one cluster if it clears the size bar, else noise
         lab = 0 if w.sum() >= m else -1
         return np.full(n, lab, np.int64)
-    lo = max(float(np.percentile(pool, 2.0)), 1e-4)
+    # floor the ladder at the quantization scale: a heavy cell (hundreds of
+    # coincident-after-quantization points) has weighted core distance 0, and
+    # a ladder descending below the cell size would resolve "structure" the
+    # quantization erased — every dense cell splits off as its own maximally
+    # stable cluster (measured: 188 preds / 48 gt on the bench's offset-
+    # shifted tree bases).  Below ~2 cells nothing is distinguishable, so
+    # that is where the hierarchy must bottom out.
+    lo = max(float(np.percentile(pool, 2.0)), 2.0 * cell_sz, 1e-4)
     hi = max(float(pool.max()) * 1.001, lo * 4.0)
     eps_levels = np.geomspace(lo, hi, n_levels).astype(np.float64)
 

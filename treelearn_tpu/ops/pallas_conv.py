@@ -164,6 +164,20 @@ def banded_spans_ok(rule: jnp.ndarray, tile: int, window: int, v: int):
     return rule_spans(rule, tile, window, v).ok
 
 
+def _lo_rows(lo: jnp.ndarray) -> jnp.ndarray:
+    """(9, ntiles) window starts -> (ntiles_pad8, 16) int32 for the per-tile
+    SMEM BlockSpec: the kernels stream one (8, 16) block per 8 tiles and read
+    row t % 8.  Replaces scalar-prefetching the whole table, whose SMEM
+    residency capped whole-plot capacity at 2^22 voxels (9 * ntiles * 4 B vs
+    the ~1 MB SMEM budget) and forced tiles to grow with capacity
+    (VERDICT r4 items 4/5).  Mosaic's SMEM block rule (last-two dims (8k,
+    cols) with cols == array cols) sets the (8, 16) shape."""
+    ntiles = lo.shape[1]
+    pad = (-ntiles) % 8
+    rows = jnp.zeros((ntiles + pad, 16), jnp.int32)
+    return rows.at[:ntiles, :9].set(lo.T)
+
+
 def _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems, consume,
                   *, window_rows, tile, c_unit):
     """Shared gather stage: per band b in [0, 9), gather each output's three
@@ -184,8 +198,10 @@ def _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems, consume,
     band b waits on slot b%2 while b+1 streams into the other slot.
     """
 
+    lr = jax.lax.rem(t, 8)  # row of the (8, 16) SMEM lo block (see _lo_rows)
+
     def dma(b_idx, slot):
-        start = pl.multiple_of(lo_ref[b_idx, t] // 2, _ALIGN // 2)
+        start = pl.multiple_of(lo_ref[lr, b_idx] // 2, _ALIGN // 2)
         return pltpu.make_async_copy(
             feats_hbm.at[pl.ds(start, window_rows), :],
             window_buf.at[slot],
@@ -207,7 +223,7 @@ def _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems, consume,
         rd = rd_ref[b, :]                                   # (T,) int32
         has = rd >= 0
         r0 = jax.lax.shift_right_arithmetic(rd, 6)
-        lo_row = lo_ref[b, t] // 2
+        lo_row = lo_ref[lr, b] // 2
         q0 = jnp.clip(jax.lax.shift_right_arithmetic(r0, 1) - lo_row,
                       0, window_rows - 1)
         # validity is folded into the index (-1 matches no column):
@@ -285,7 +301,7 @@ def _gather_bands(t, lo_ref, rd_ref, feats_hbm, window_buf, sems, consume,
     jax.lax.fori_loop(0, 9, body, None, unroll=False)
 
 
-def _subm_kernel(lo_ref, n_live_ref, rd_ref, feats_hbm, w_ref, out_ref,
+def _subm_kernel(n_live_ref, lo_ref, rd_ref, feats_hbm, w_ref, out_ref,
                  window_buf, acc_ref, sems, *, window_rows, tile,
                  c_unit, out_dtype):
     t = pl.program_id(0)
@@ -363,14 +379,16 @@ def subm_conv_banded(feats: jnp.ndarray, weight: jnp.ndarray,
     n_live = jnp.sum(live_mask).astype(jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((9, tile), lambda t, lo, nl: (0, t)),   # rd tile
+            pl.BlockSpec((8, 16), lambda t, nl: (t // 8, 0),
+                         memory_space=pltpu.SMEM),               # lo rows
+            pl.BlockSpec((9, tile), lambda t, nl: (0, t)),       # rd tile
             pl.BlockSpec(memory_space=pltpu.HBM),                # slide feats
             pl.BlockSpec(memory_space=pltpu.VMEM),               # flat weights
         ],
-        out_specs=pl.BlockSpec((tile, cout), lambda t, lo, nl: (t, 0)),
+        out_specs=pl.BlockSpec((tile, cout), lambda t, nl: (t, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, window_rows, 4 * c_unit), jnp.bfloat16),
             pltpu.VMEM((tile, cout), jnp.float32),
@@ -386,7 +404,7 @@ def subm_conv_banded(feats: jnp.ndarray, weight: jnp.ndarray,
             dimension_semantics=("arbitrary",),
         ),
         interpret=_INTERPRET,
-    )(spans.lo, n_live, spans.rd, feats_p, w_band)
+    )(n_live, _lo_rows(spans.lo), spans.rd, feats_p, w_band)
     return jnp.where(live_mask[:, None], out, 0)
 
 
@@ -394,7 +412,7 @@ def subm_conv_banded(feats: jnp.ndarray, weight: jnp.ndarray,
 # Weight-gradient kernel: dW[k] = sum_i x[rule[k, i]] g[i]^T
 # ---------------------------------------------------------------------------
 
-def _dw_kernel(lo_ref, n_live_ref, rd_ref, g_ref, x_hbm, out_ref,
+def _dw_kernel(n_live_ref, lo_ref, rd_ref, g_ref, x_hbm, out_ref,
                window_buf, sems, *, window_rows, tile, c_unit):
     t = pl.program_id(0)
 
@@ -442,15 +460,17 @@ def rule_conv_dw_banded(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
     n_live = jnp.sum(live_mask).astype(jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(v_out // tile,),
         in_specs=[
-            pl.BlockSpec((9, tile), lambda t, lo, nl: (0, t)),    # rd tile
-            pl.BlockSpec((tile, cout), lambda t, lo, nl: (t, 0)),  # g tile
+            pl.BlockSpec((8, 16), lambda t, nl: (t // 8, 0),
+                         memory_space=pltpu.SMEM),                # lo rows
+            pl.BlockSpec((9, tile), lambda t, nl: (0, t)),        # rd tile
+            pl.BlockSpec((tile, cout), lambda t, nl: (t, 0)),     # g tile
             pl.BlockSpec(memory_space=pltpu.HBM),                 # x windows
         ],
         out_specs=pl.BlockSpec((9, _sel_groups() * c_unit, cout),
-                               lambda t, lo, nl: (0, 0, 0)),
+                               lambda t, nl: (0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, window_rows, 4 * c_unit), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
@@ -466,7 +486,7 @@ def rule_conv_dw_banded(x: jnp.ndarray, g: jnp.ndarray, rule: jnp.ndarray,
             dimension_semantics=("arbitrary",),
         ),
         interpret=_INTERPRET,
-    )(spans.lo, n_live, spans.rd, g_b, x_p)
+    )(n_live, _lo_rows(spans.lo), spans.rd, g_b, x_p)
     # slice the dz groups back out (roll mode appends an always-zero 4th)
     dw = dw.reshape(9, _sel_groups(), c_unit, cout)[:, :3]
     return dw.reshape(27, c_unit, cout)[:, :cin, :]

@@ -65,7 +65,7 @@ def band_deltas(spatial_shape) -> list:
     return out
 
 
-def _rd_kernel(lo_ref, n_live_ref, q_ref, guard_ref, keys_hbm, out_ref,
+def _rd_kernel(n_live_ref, lo_ref, q_ref, guard_ref, keys_hbm, out_ref,
                window_buf, sems, *, window, tile, deltas):
     t = pl.program_id(0)
     out_ref[:] = jnp.full_like(out_ref, -1)
@@ -73,9 +73,10 @@ def _rd_kernel(lo_ref, n_live_ref, q_ref, guard_ref, keys_hbm, out_ref,
     @pl.when(t * tile < n_live_ref[0])
     def _():
         rows = window // 128
+        lr = jax.lax.rem(t, 8)  # row of the (8, 16) SMEM lo block
 
         def dma(b_idx, slot):
-            start = pl.multiple_of(lo_ref[b_idx, t] // 128, 1)
+            start = pl.multiple_of(lo_ref[lr, b_idx] // 128, 1)
             return pltpu.make_async_copy(
                 keys_hbm.at[pl.ds(start, rows), :],
                 window_buf.at[slot], sems.at[slot])
@@ -105,7 +106,7 @@ def _rd_kernel(lo_ref, n_live_ref, q_ref, guard_ref, keys_hbm, out_ref,
                 jax.lax.shift_right_logical(g, b), 1)
             base = qk + (delta - 1)
 
-            lo_b = lo_ref[b, t]
+            lo_b = lo_ref[lr, b]
             bits_acc = jnp.zeros((tile, 128), jnp.int32)
             pos_acc = jnp.full((tile, 128), _BIG, jnp.int32)
             win = window_buf[slot]
@@ -196,18 +197,25 @@ def build_spans_banded(keys: jnp.ndarray, *, spatial_shape: tuple,
     guard = guard | ((valid & (z > 0)).astype(jnp.int32) << 9)
     guard = guard | ((valid & (z < sz - 1)).astype(jnp.int32) << 10)
 
+    from .pallas_conv import _lo_rows
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
+            # per-tile SMEM lo rows (see pallas_conv._lo_rows): replaces the
+            # scalar-prefetched (9, ntiles) table whose SMEM residency capped
+            # capacity at 2^22 voxels
+            pl.BlockSpec((8, 16), lambda t, nl: (t // 8, 0),
+                         memory_space=pltpu.SMEM),
             # 3-D (ntiles, 1, tile) views: Mosaic requires the block's
             # last-two dims be (8k, 128k) or equal to the array dims — a
             # (1, tile) block on a (ntiles, tile) array fails the sublane rule
-            pl.BlockSpec((1, 1, tile), lambda t, lo, nl: (t, 0, 0)),  # keys
-            pl.BlockSpec((1, 1, tile), lambda t, lo, nl: (t, 0, 0)),  # guard
+            pl.BlockSpec((1, 1, tile), lambda t, nl: (t, 0, 0)),  # keys
+            pl.BlockSpec((1, 1, tile), lambda t, nl: (t, 0, 0)),  # guard
             pl.BlockSpec(memory_space=pltpu.HBM),                # key rows
         ],
-        out_specs=pl.BlockSpec((9, tile), lambda t, lo, nl: (0, t)),
+        out_specs=pl.BlockSpec((9, tile), lambda t, nl: (0, t)),
         scratch_shapes=[
             pltpu.VMEM((2, window // 128, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -221,8 +229,8 @@ def build_spans_banded(keys: jnp.ndarray, *, spatial_shape: tuple,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_INTERPRET,
-    )(lo, n_live, keys.reshape(ntiles, 1, tile), guard.reshape(ntiles, 1, tile),
-      keys.reshape(v // 128, 128))
+    )(n_live, _lo_rows(lo), keys.reshape(ntiles, 1, tile),
+      guard.reshape(ntiles, 1, tile), keys.reshape(v // 128, 128))
     return BandSpans(lo=lo, rd=rd, ok=ok)
 
 

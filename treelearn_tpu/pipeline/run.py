@@ -191,11 +191,12 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
         # voxel recompute.  'auto' (default) switches on the voxel count;
         # set whole_plot: false for exact tile-decomposition parity.
         whole_plot = config.get("whole_plot", "auto")
-        # 2^22-voxel ceiling: HBM fits far more (~1.2 GB of plans+activations
-        # at 2^23), but the conv kernels scalar-prefetch a (9, capacity/tile)
-        # window-start table and TPU SMEM caps it at ~1 MB — capacity 2^23 at
-        # tile 256 would need 1.2 MB.  Plots beyond the ceiling stream tiles.
-        wp_max = int(config.get("whole_plot_max_voxels", 1 << 22))
+        # 2^23-voxel ceiling (~8.4M active voxels, ~2.5 GB of plans +
+        # activations in 16 GB HBM).  The former 2^22 SMEM bound is gone: the
+        # window-start tables stream as per-tile SMEM blocks
+        # (ops/pallas_conv.py:_lo_rows).  Plots beyond the ceiling stream
+        # tiles.
+        wp_max = int(config.get("whole_plot_max_voxels", 1 << 23))
         use_wp = (whole_plot is True
                   or (whole_plot == "auto" and len(vox_pts) <= wp_max))
         if use_wp:

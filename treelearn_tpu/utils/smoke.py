@@ -162,6 +162,57 @@ def run_tpu_smoke() -> dict:
     except Exception:
         checks["pallas_vert"] = False
 
+    # 6. device HDBSCAN at plot scale (VERDICT r4 item 4): the eps-ladder +
+    # hierarchical-coarsening path (ops/hdbscan.py:_level_components) over
+    # >=200k candidates shaped like offset-shifted tree bases — dense knots
+    # on clutter, the layout that degenerates naive grid CC.  Checks cluster
+    # recovery, not timing (the default grouping gate routes sizes like this
+    # to the weighted host path for speed; this records that the DEVICE
+    # engine scales correctly past the old 50k ceiling).
+    try:
+        import os as _os
+        import time as _time
+
+        from ..ops.hdbscan import hdbscan_cluster
+
+        n_knots = 96
+        rng2 = np.random.default_rng(3)
+        centers = rng2.uniform(0, 240, (n_knots, 2)).astype(np.float32)
+        knots = (centers[:, None, :]
+                 + rng2.normal(0, 0.25, (n_knots, 2000, 2))).reshape(-1, 2)
+        clutter = rng2.uniform(0, 240, (28000, 2))
+        pts = np.concatenate([knots, clutter]).astype(np.float32)  # 220k
+        t0 = _time.time()
+        prev = _os.environ.get("TL_HDBSCAN_DEVICE_MAX")
+        _os.environ["TL_HDBSCAN_DEVICE_MAX"] = str(1 << 20)
+        try:
+            lab = hdbscan_cluster(pts, min_cluster_size=50,
+                                  not_assigned_label=-1, start_num=1)
+        finally:
+            if prev is None:
+                _os.environ.pop("TL_HDBSCAN_DEVICE_MAX", None)
+            else:
+                _os.environ["TL_HDBSCAN_DEVICE_MAX"] = prev
+        # every knot recovered as one big cluster (>=1500 of its 2000 pts)
+        knot_ids = np.repeat(np.arange(n_knots), 2000)
+        knot_lab = lab[: n_knots * 2000]
+        good = 0
+        for kn in range(n_knots):
+            vals, cnts = np.unique(knot_lab[knot_ids == kn], return_counts=True)
+            top = vals[cnts.argmax()]
+            if top >= 1 and cnts.max() >= 1500:
+                good += 1
+        n_clusters = len(np.unique(lab[lab >= 1]))
+        # adjacent random knots can legitimately merge (sklearn does too):
+        # bound the count loosely; `good` carries the real recovery signal
+        checks["hdbscan_device_220k"] = bool(
+            good >= int(0.95 * n_knots)
+            and int(0.9 * n_knots) <= n_clusters <= int(1.3 * n_knots))
+        extras = {"hdbscan_device_220k_seconds": round(_time.time() - t0, 1)}
+    except Exception:
+        checks["hdbscan_device_220k"] = False
+        extras = {}
+
     passed = sum(bool(x) for x in checks.values())
     return {"passed": passed, "failed": len(checks) - passed,
-            "checks": {k: bool(x) for k, x in checks.items()}}
+            "checks": {k: bool(x) for k, x in checks.items()}, **extras}
