@@ -177,6 +177,15 @@ def _decompose_model_step(config, work, log):
     counts = level_voxel_counts_np(pts, vs, ss, nb)
     caps = tuple(min(max(_pow2(int(c * 1.02)), 512), cap) for c in counts)
     caps = (cap,) + caps[1:]
+    from treelearn_tpu.model.blocks import level_tile_window
+    from treelearn_tpu.ops.voxelize import level_span_windows_np
+
+    tiles = [level_tile_window(32 * (l + 1))[0] for l in range(nb)]
+    req = level_span_windows_np(pts, vs, ss, nb, tiles)
+    ladder = (512, 640, 768, 1024, 1536, 2048, 3072, 4096)
+    wins = tuple(min(next((c for c in ladder if c >= r),
+                          ((r + 127) // 128) * 128), int(cp))
+                 for r, cp in zip(req, caps))
 
     mc = dict(config.model)
     mc["spatial_shape"] = ss
@@ -203,7 +212,8 @@ def _decompose_model_step(config, work, log):
             out, _ = model.apply(params, state, coords, feats, bids, valid,
                                  batch_size=1, voxel_capacity=cap,
                                  training=False, compute_dtype=jnp.bfloat16,
-                                 level_capacities=caps, probe=probe)
+                                 level_capacities=caps, level_windows=wins,
+                                 probe=probe)
             if probe is None:
                 return (jnp.sum(out["semantic_prediction_logits"])
                         + jnp.sum(out["offset_predictions"]))
@@ -608,4 +618,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # the JSON line must exist even on a crash
+        # (e.g. a TPU worker restart mid-pipeline, the round-5 10M probe)
+        import traceback
+
+        log(f"FATAL {type(e).__name__}: {e}")
+        traceback.print_exc()
+        DEGRADED.append(f"exception_{type(e).__name__}")
+        RESULT.setdefault("error", f"{type(e).__name__}: {e}"[:500])
+        emit_result()
+        raise SystemExit(0)

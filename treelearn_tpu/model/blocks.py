@@ -354,7 +354,9 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
                       capacities: Sequence[int],
                       static_spatial_shape: Optional[Sequence[int]] = None,
                       batch_size: int = 1,
-                      rule_free: bool = False) -> Tuple[LevelPlan, ...]:
+                      rule_free: bool = False,
+                      level_windows: Optional[Sequence[int]] = None
+                      ) -> Tuple[LevelPlan, ...]:
     """Build all rulebooks for a tile once (reference builds them lazily inside
     spconv and caches by indice_key; we do it up front, still one-time work).
 
@@ -383,6 +385,12 @@ def build_level_plans(grid: SparseGrid, num_levels: int, kernel_size: int,
     for lvl in range(num_levels):
         cap = int(g.capacity)
         tile, window = level_tile_window(32 * (lvl + 1), cap)
+        if level_windows is not None and level_windows[lvl]:
+            # measured per-level window (whole-plot mode: the host mirrors
+            # the level key sets and sizes each window to the true max band
+            # span — ops/voxelize.py:level_span_windows_np) instead of the
+            # fixed 3x-tile heuristic
+            window = int(level_windows[lvl])
         banded_ok = (cap % tile == 0 and cap >= window and cap % 128 == 0)
         if rule_free and shape is not None and kernel_size == 3 and banded_ok:
             from ..ops.pallas_rd import build_spans_banded

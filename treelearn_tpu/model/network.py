@@ -223,6 +223,7 @@ class TreeLearn:
         fast_conv: Optional[bool] = None,
         materialize_rules: Optional[bool] = None,
         level_capacities: Optional[Tuple[int, ...]] = None,
+        level_windows: Optional[Tuple[int, ...]] = None,
         probe: Optional[str] = None,
     ):
         """Full forward. Returns (output dict, new_state).
@@ -308,7 +309,8 @@ class TreeLearn:
                                   # builds its rule lazily inside the cond
                                   # branch
                                   rule_free=bool(fast_conv)
-                                  and not materialize_rules)
+                                  and not materialize_rules,
+                                  level_windows=level_windows)
         if probe == "plans":
             # voxelize + full per-level plan/rulebook build, no convs: the
             # token touches every level's grid and span tables

@@ -247,3 +247,69 @@ def level_voxel_counts_np(xyz, voxel_size: float, spatial_shape,
         counts.append(len(cur))
         shape = out_shape
     return counts
+
+
+def level_span_windows_np(xyz, voxel_size: float, spatial_shape,
+                          num_levels: int, tiles, *, align: int = 128,
+                          margin: int = 8, slack: int = 128):
+    """Host-side minimal banded-conv window per U-Net level (in voxels).
+
+    Mirrors :func:`level_voxel_counts_np`'s level walk and the span test of
+    the rd builder (ops/pallas_rd.py:build_spans_banded): per (band, tile)
+    the window must cover ``hi_raw - align_down(lo_raw)`` plus the packed
+    2-row ``margin``; ``slack`` absorbs host/device float32 grid-rounding
+    drift on boundary voxels.  ``tiles`` is the per-level conv tile size
+    (model/blocks.py:level_tile_window).
+
+    This is what replaces the fixed 3x-tile window at plot scale: measured
+    windows stay narrow where the density allows (cutting the selection tax
+    that scales with window rows) and widen exactly where dense crowns need
+    it, instead of overflowing into the whole-batch exact-XLA fallback
+    (which at 4M voxels crashed the TPU worker — round-5 10M probe).
+    """
+    import numpy as np
+
+    p = np.asarray(xyz, np.float32)
+    shape = np.asarray(spatial_shape, np.int64)
+    ijk = np.floor((p - p.min(axis=0)) / np.float32(voxel_size)).astype(np.int64)
+    ijk = np.clip(ijk, 0, shape - 1)
+
+    def dedup_keys(ijk, shape):
+        keys = (ijk[:, 0] * shape[1] + ijk[:, 1]) * shape[2] + ijk[:, 2]
+        return np.unique(keys)
+
+    def ijk_of(keys, shape):
+        x, r = np.divmod(keys, shape[1] * shape[2])
+        y, z = np.divmod(r, shape[2])
+        return np.stack([x, y, z], axis=1)
+
+    def required_window(keys, shape, tile):
+        n = len(keys)
+        if n == 0:
+            return 0
+        sy, sz = int(shape[1]), int(shape[2])
+        ntiles = int(np.ceil(n / tile))
+        starts = np.arange(ntiles) * tile
+        ends = np.minimum(starts + tile, n) - 1
+        kmin = keys[starts]
+        kmax = keys[ends]
+        deltas = np.array([dx * sy * sz + dy * sz
+                           for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+                          np.int64)[:, None]
+        lo_raw = np.searchsorted(keys, kmin[None, :] + deltas - 1, side="left")
+        hi_raw = np.searchsorted(keys, kmax[None, :] + deltas + 1, side="right")
+        lo_al = (lo_raw // align) * align
+        return int((hi_raw - lo_al).max()) + margin
+
+    keys = dedup_keys(ijk, shape)
+    out = [required_window(keys, shape, int(tiles[0])) + slack]
+    cur = ijk_of(keys, shape)
+    for lvl in range(1, num_levels):
+        out_shape = shape // 2
+        parent = cur // 2
+        parent = parent[np.all(parent < out_shape, axis=1)]
+        keys = dedup_keys(parent, out_shape)
+        out.append(required_window(keys, out_shape, int(tiles[lvl])) + slack)
+        cur = ijk_of(keys, out_shape)
+        shape = out_shape
+    return out

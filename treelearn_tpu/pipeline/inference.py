@@ -220,7 +220,8 @@ def _inner_cap_bucket(count: int, n: int) -> int:
 def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int,
                         compute_dtype=jnp.float32, logger=None,
                         timings: Optional[dict] = None, mesh=None,
-                        need_backbone: bool = True, level_capacities=None):
+                        need_backbone: bool = True, level_capacities=None,
+                        level_windows=None):
     """Returns numpy arrays (semantic_logits, semantic_labels, offset_preds,
     offset_labels, coords, instance_labels, backbone_feats, input_feats,
     point_ids) over all inner-mask points of all tiles.  ``point_ids`` are
@@ -303,7 +304,8 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
                 model, batch_size=batch["batch_size"],
                 voxel_capacity=voxel_capacity, compute_dtype=compute_dtype,
                 inner_capacity=inner_cap, need_backbone=need_backbone,
-                fast_conv=True, level_capacities=level_capacities)
+                fast_conv=True, level_capacities=level_capacities,
+                level_windows=level_windows)
         jbatch = {k: jax.device_put(np.asarray(batch[k]))
                   for k in _MODEL_INPUT_KEYS}
         return fallback_cache[key](params, state, jbatch)
@@ -331,7 +333,8 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
                 model, batch_size=batch["batch_size"],
                 voxel_capacity=new_vcap, compute_dtype=compute_dtype,
                 inner_capacity=inner_cap, need_backbone=need_backbone,
-                fast_conv=True, level_capacities=new_caps)
+                fast_conv=True, level_capacities=new_caps,
+                level_windows=level_windows)
         jbatch = {k: jax.device_put(np.asarray(batch[k]))
                   for k in _MODEL_INPUT_KEYS}
         output = fallback_cache[key](params, state, jbatch)
@@ -461,7 +464,7 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         n = batch["coords"].shape[0]
         inner_cap = _inner_cap_bucket(_inner_count(batch), n)
         key = (model.config_key(), voxel_capacity, level_capacities,
-               str(compute_dtype),
+               level_windows, str(compute_dtype),
                need_backbone, n, batch["batch_size"], inner_cap)
         if key not in step_cache:
             t0 = time.time()
@@ -493,7 +496,8 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
                                        compute_dtype=compute_dtype,
                                        inner_capacity=inner_cap,
                                        need_backbone=need_backbone,
-                                       level_capacities=level_capacities)
+                                       level_capacities=level_capacities,
+                                       level_windows=level_windows)
                 # AOT lower+compile of the PACKED program, then call the
                 # Compiled directly — the jit __call__ is never used, which
                 # sidesteps the jax-0.9 hoisted-constant cache poisoning

@@ -232,6 +232,25 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
                 min(max(_pow2(int(c * 1.02)), 512), voxel_capacity_run)
                 for c in lvl_counts)
             level_caps = (voxel_capacity_run,) + level_caps[1:]
+            # measured per-level conv windows (VERDICT r4 items 4/5): the
+            # fixed 3x-tile window both overpays the selection tax on sparse
+            # plots and overflows into the exact-XLA fallback on dense ones
+            # (a 4M-voxel fallback crashed the TPU worker).  Bucket to a
+            # small ladder so similar plots share compiled programs; cap at
+            # the level capacity (the conv requires window <= V).
+            from ..model.blocks import level_tile_window
+            from ..ops.voxelize import level_span_windows_np
+
+            nb = int(config.model.get("num_blocks", 7))
+            tiles = [level_tile_window(32 * (l + 1))[0] for l in range(nb)]
+            req = level_span_windows_np(vox_pts, vs, ss, nb, tiles)
+            ladder = (512, 640, 768, 1024, 1536, 2048, 3072, 4096)
+            level_windows = tuple(
+                min(next((c for c in ladder if c >= r),
+                         ((r + 127) // 128) * 128), int(cp))
+                for r, cp in zip(req, level_caps))
+            logger.info(f"measured level windows {level_windows} "
+                        f"(required {req})")
             loader = stream.whole_plot_batches(min_bucket=voxel_capacity_run)
         else:
             # one shape bucket = one XLA compilation; dead-tile skipping in
@@ -247,9 +266,11 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
     compute_dtype = jnp.bfloat16 if config.get("fp16") else jnp.float32
     voxel_capacity = int(config.get("voxel_capacity", 1 << 20))
     level_capacities = None
+    level_windows_arg = None
     if streaming and use_wp:
         voxel_capacity = voxel_capacity_run
         level_capacities = level_caps
+        level_windows_arg = level_windows
     mesh = None
     if config.get("dist") and len(jax.devices()) > 1:
         from ..parallel import make_mesh
@@ -261,6 +282,7 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
     pointwise = get_pointwise_preds(model, params, state, loader,
                                     voxel_capacity=voxel_capacity,
                                     level_capacities=level_capacities,
+                                    level_windows=level_windows_arg,
                                     compute_dtype=compute_dtype, logger=logger,
                                     timings=model_timings, mesh=mesh,
                                     need_backbone=bool(

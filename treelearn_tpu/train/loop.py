@@ -160,7 +160,7 @@ def make_train_step(model, optimizer, *, batch_size: int, voxel_capacity: int,
 def make_eval_step(model, *, batch_size: int, voxel_capacity: int,
                    compute_dtype=jnp.float32, inner_capacity: Optional[int] = None,
                    need_backbone: bool = True, fast_conv=None,
-                   level_capacities=None):
+                   level_capacities=None, level_windows=None):
     """Jitted forward step over one padded tile batch.
 
     With ``inner_capacity`` set, the step compacts its outputs to the
@@ -183,6 +183,7 @@ def make_eval_step(model, *, batch_size: int, voxel_capacity: int,
             batch_size=batch_size, voxel_capacity=voxel_capacity,
             training=False, compute_dtype=compute_dtype,
             fast_conv=fast_conv, level_capacities=level_capacities,
+            level_windows=level_windows,
         )
         if inner_capacity is None:
             if not need_backbone:
