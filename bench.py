@@ -181,10 +181,11 @@ def _decompose_model_step(config, work, log):
     from treelearn_tpu.ops.voxelize import level_span_windows_np
 
     tiles = [level_tile_window(32 * (l + 1))[0] for l in range(nb)]
-    req = level_span_windows_np(pts, vs, ss, nb, tiles)
+    req = level_span_windows_np(pts, vs, ss, nb, tiles, slack=0)
     ladder = (512, 640, 768, 1024, 1536, 2048, 3072, 4096)
-    wins = tuple(min(next((c for c in ladder if c >= r),
-                          ((r + 127) // 128) * 128), int(cp))
+    wins = tuple(min(next((c for c in ladder
+                           if c >= r + (128 if cp >= (1 << 21) else 16)),
+                          ((r + 128 + 127) // 128) * 128), int(cp))
                  for r, cp in zip(req, caps))
 
     mc = dict(config.model)

@@ -293,9 +293,51 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
 
 
     def _rerun_with_fallback(batch, inner_cap):
-        """A rulebook overflowed its banded windows under the slim program
-        (statistically never on sorted voxel data): re-run this batch on the
-        exact-XLA-fallback program, compiled lazily on first need."""
+        """A rulebook overflowed its banded windows under the slim program.
+
+        With measured ``level_windows`` (whole-plot mode) the overflow means
+        the host span mirror under-sized a window (f32 boundary drift / an
+        alignment flip): re-run on a banded program with every window bumped
+        one ladder step — still the fast kernel, and safe at any capacity.
+        Without measured windows (tile mode), or if the bump overflows too,
+        use the exact-XLA-fallback program — but never at giant capacity,
+        where its materialized (27, V) rules are what crashed the TPU worker
+        (round-5 10M probe)."""
+        jbatch = {k: jax.device_put(np.asarray(batch[k]))
+                  for k in _MODEL_INPUT_KEYS}
+        if level_windows is not None:
+            ladder = (512, 640, 768, 1024, 1536, 2048, 3072, 4096)
+            bumped = tuple(
+                min(next((c for c in ladder if c > w), w * 2),
+                    (level_capacities[i] if level_capacities is not None
+                     else voxel_capacity))
+                for i, w in enumerate(level_windows))
+            key = ("bump", batch["coords"].shape[0], batch["batch_size"],
+                   inner_cap, bumped)
+            if key not in fallback_cache:
+                if logger:
+                    logger.info(f"span overflow: retrying with bumped "
+                                f"windows {bumped}")
+                fallback_cache[key] = make_eval_step(
+                    model, batch_size=batch["batch_size"],
+                    voxel_capacity=voxel_capacity,
+                    compute_dtype=compute_dtype, inner_capacity=inner_cap,
+                    need_backbone=need_backbone,
+                    level_capacities=level_capacities, level_windows=bumped)
+            out = fallback_cache[key](params, state, jbatch)
+            # make_eval_step's callable already unpacks its packed outputs
+            try:
+                check_capacity(out, voxel_capacity, model.num_blocks,
+                               context="inference batch (bumped windows): ",
+                               level_capacities=level_capacities)
+                return out
+            except SpansOverflow:
+                if voxel_capacity >= (1 << 21):
+                    raise RuntimeError(
+                        "span overflow persists after a window bump at "
+                        f"capacity {voxel_capacity}; the exact-XLA fallback "
+                        "is unsafe at this scale — re-run with "
+                        "whole_plot: false (tile mode)")
         key = (batch["coords"].shape[0], batch["batch_size"], inner_cap)
         if key not in fallback_cache:
             if logger:
@@ -306,8 +348,6 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
                 inner_capacity=inner_cap, need_backbone=need_backbone,
                 fast_conv=True, level_capacities=level_capacities,
                 level_windows=level_windows)
-        jbatch = {k: jax.device_put(np.asarray(batch[k]))
-                  for k in _MODEL_INPUT_KEYS}
         return fallback_cache[key](params, state, jbatch)
 
     def _rerun_with_capacity(batch, inner_cap, counts):

@@ -243,11 +243,19 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
 
             nb = int(config.model.get("num_blocks", 7))
             tiles = [level_tile_window(32 * (l + 1))[0] for l in range(nb)]
-            req = level_span_windows_np(vox_pts, vs, ss, nb, tiles)
+            req = level_span_windows_np(vox_pts, vs, ss, nb, tiles, slack=0)
             ladder = (512, 640, 768, 1024, 1536, 2048, 3072, 4096)
+            # slack policy: the device's spans-ok flag still gates exactness
+            # at runtime, so the window only needs to be PROBABLY right.
+            # Small levels keep it tight (16: a few boundary voxels of
+            # host/device f32 drift) — a rare miss re-runs through the
+            # window-bump retry below at small-compile cost.  Plot-scale
+            # levels (cap >= 2^21) take the full 128 alignment-flip slack:
+            # their retry compile is ~a minute and worth avoiding.
             level_windows = tuple(
-                min(next((c for c in ladder if c >= r),
-                         ((r + 127) // 128) * 128), int(cp))
+                min(next((c for c in ladder
+                          if c >= r + (128 if cp >= (1 << 21) else 16)),
+                         ((r + 128 + 127) // 128) * 128), int(cp))
                 for r, cp in zip(req, level_caps))
             logger.info(f"measured level windows {level_windows} "
                         f"(required {req})")
