@@ -356,9 +356,14 @@ def main():
     # executable caches.  The timed cold pass below then measures what a
     # production "segment one plot" process pays on a prewarmed installation:
     # executable-cache deserialization + one plot — with a cleared in-process
-    # cache (it is a fresh process).  BENCH_PREWARM=0 skips; shed when the
-    # budget is tight (the cold pass then doubles as its own prewarm).
-    if os.environ.get("BENCH_PREWARM", "1") != "0" and remaining() > 1000:
+    # cache (it is a fresh process).  OFF by default (BENCH_PREWARM=1 opts
+    # in): on the tunneled single-chip backend a child process contends with
+    # the parent's device handle and was measured taking >1000 s for a
+    # pipeline that runs ~320 s in-process — it starved every scored pass of
+    # the 08:39 r5 run.  The cold pass below doubles as the prewarm; on an
+    # installation whose persistent caches are already warm it measures
+    # exec-cache deserialization + one plot, which is the production number.
+    if os.environ.get("BENCH_PREWARM", "0") != "0" and remaining() > 1000:
         import subprocess
 
         import yaml
@@ -388,7 +393,7 @@ def main():
         else:
             log(f"install prewarm: {RESULT['prewarm_seconds']}s (subprocess; "
                 "compile + executable caches now warm)")
-    else:
+    elif os.environ.get("BENCH_PREWARM", "0") != "0":
         DEGRADED.append("prewarm_skipped")
         log(f"prewarm shed (budget: {remaining():.0f}s left)")
 
