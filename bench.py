@@ -145,6 +145,35 @@ def install_watchdogs():
     threading.Thread(target=_watch, daemon=True).start()
 
 
+def _probe_tunnel():
+    """{"rtt_ms", "d2h_mbps"} for the host<->device link RIGHT NOW.
+
+    The tunneled v5e's link state varies minute to minute (identical cold
+    passes measured 16.9 s and 366.8 s on the same commit + caches, 20 min
+    apart); recording the link state alongside cold_seconds makes a
+    pathological number attributable to the tunnel rather than the code.
+    ~1 s of overhead: 4 scalar roundtrips + one 4 MB D2H fetch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.float32(0)
+    x = f(x)  # compile + ensure resident
+    jax.block_until_ready(x)
+    rtts = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        float(f(x))
+        rtts.append(time.perf_counter() - t0)
+    big = jax.block_until_ready(jnp.zeros((1 << 20,), jnp.float32))  # 4 MB
+    t0 = time.perf_counter()
+    np.asarray(big)
+    d2h_s = time.perf_counter() - t0
+    return {"rtt_ms": round(min(rtts) * 1e3, 1),
+            "d2h_mbps": round(4.0 / max(d2h_s, 1e-9), 1)}
+
+
 def _decompose_model_step(config, work, log):
     """Per-component timings of the whole-plot eval step (seconds): voxelize,
     plans (rulebook build), heads (devoxelize+MLPs), full, and the derived
@@ -350,6 +379,11 @@ def main():
 
     warm_thread.join()
     log(f"device warm (budget: {remaining():.0f}s left)")
+    try:
+        RESULT["tunnel_before_cold"] = _probe_tunnel()
+        log(f"tunnel: {RESULT['tunnel_before_cold']}")
+    except Exception as e:  # the probe is reporting, not gating
+        log(f"tunnel probe failed: {type(e).__name__}: {e}")
 
     # Install-time prewarm (VERDICT r2 item 7): a SUBPROCESS runs the same
     # pipeline once via tools/prewarm.py, populating the persistent compile +
@@ -416,6 +450,11 @@ def main():
     RESULT["n_trees_found"] = result["n_trees"]
     log(f"cold pass: {cold_elapsed:.1f}s — stages "
         f"{RESULT['cold_stage_seconds']}")
+    try:
+        RESULT["tunnel_after_cold"] = _probe_tunnel()
+        log(f"tunnel: {RESULT['tunnel_after_cold']}")
+    except Exception as e:
+        log(f"tunnel probe failed: {type(e).__name__}: {e}")
 
     pw = os.path.join(result["results_dir"], "pointwise_results",
                       "pointwise_results.npz")
