@@ -212,22 +212,30 @@ def compute_verticality(points: np.ndarray, search_radius: float = 0.6,
     if use_banded is None:
         use_banded = jax.default_backend() == "tpu"
     need = np.ones(nq, bool)
+    dev_refs = None
     if use_banded and nq:
         from .pallas_vert import verticality_banded
 
-        v_b, cnt_b, overflow = verticality_banded(points, queries,
-                                                  float(search_radius))
+        v_b, cnt_b, overflow, dev_refs = verticality_banded(
+            points, queries, float(search_radius), return_device_refs=True)
         done = ~overflow
         vert[done] = np.where(cnt_b[done] >= 3, v_b[done], np.nan)
         need = overflow
 
     if need.any():
-        size = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
-        pts = np.zeros((size, 3), np.float32)
-        pts[:n] = points
-        vmask = np.zeros(size, bool)
-        vmask[:n] = True
-        ref_j, rv_j = jnp.asarray(pts), jnp.asarray(vmask)
+        if dev_refs is not None:
+            # reuse the banded pass's device-resident sorted ref cloud
+            # (order is irrelevant: _verticality_pass sorts by its own keys)
+            ref_j, n_ref = dev_refs
+            size = ref_j.shape[0]
+            rv_j = jnp.arange(size, dtype=jnp.int32) < n_ref
+        else:
+            size = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
+            pts = np.zeros((size, 3), np.float32)
+            pts[:n] = points
+            vmask = np.zeros(size, bool)
+            vmask[:n] = True
+            ref_j, rv_j = jnp.asarray(pts), jnp.asarray(vmask)
         rem = np.where(need)[0]
         # block size follows the actual straggler count (pow-2 bucketed so a
         # handful of banded-overflow queries costs a ~1k pass, not a full

@@ -134,14 +134,38 @@ def _vert_kernel(lo_ref, n_live_ref, q_ref, refs_hbm, out_ref, window_buf,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window", "radius"))
-def _vert_pallas_call(lo, n_live, q_small, ref_mat, *, tile, window, radius):
-    # pad the compact (Q, 8) host query matrix to the (Q, 128) lane layout on
-    # device (H2D of the 128-wide layout shipped 16x the bytes for nothing),
-    # and reduce the kernel's (Q, 128) moment block to the two (Q,) outputs
-    # before anything crosses the tunnel back.
-    nq = q_small.shape[0]
-    q_mat = jnp.zeros((nq, 128), jnp.float32).at[:, :q_small.shape[1]].set(
-        q_small)
+def _vert_pallas_call(lo, n_live, q_pts, pts_sorted, nums, *, tile, window,
+                      radius):
+    # Build BOTH feature matrices on device from the raw sorted coordinates:
+    # the host-built (8, V) ref matrix + (Q, 8) query matrix shipped ~19 MB
+    # per call through the tunnel, of which everything except the coordinates
+    # themselves (7 MB) is derivable in-jit (cell indices are floor(x/cell),
+    # valid flags are iota comparisons).  H2D upload was ~60% of the warm
+    # banded-call time (0.27 s of 0.46 s on the 156k-query bench plot).
+    # ``nums`` = int32 [nq, nr, min_i, min_j] (mins over refs AND queries,
+    # host-computed so device cell indices match the host span tables).
+    nq_pad = q_pts.shape[0]
+    v_pad = pts_sorted.shape[0]
+    cell = jnp.float32(radius)
+    n_q, n_r = nums[0], nums[1]
+    mins = nums[2:4]
+
+    ij_q = (jnp.floor(q_pts[:, :2] / cell).astype(jnp.int32)
+            - mins[None, :]).astype(jnp.float32)
+    qvalid = (jnp.arange(nq_pad, dtype=jnp.int32) < n_q)
+    q_mat = (jnp.zeros((nq_pad, 128), jnp.float32)
+             .at[:, 0:3].set(q_pts)
+             .at[:, 3:5].set(ij_q)
+             .at[:, 5].set(qvalid.astype(jnp.float32)))
+
+    rvalid = (jnp.arange(v_pad, dtype=jnp.int32) < n_r)
+    ij_r = (jnp.floor(pts_sorted[:, :2] / cell).astype(jnp.int32)
+            - mins[None, :]).astype(jnp.float32)
+    ref_mat = (jnp.zeros((8, v_pad), jnp.float32)
+               .at[0, :].set(rvalid.astype(jnp.float32))
+               .at[1:4, :].set(pts_sorted.T)
+               .at[4:6, :].set(jnp.where(rvalid[None, :], ij_r.T, 0.0)))
+    nq = nq_pad
     ntiles = nq // tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -186,7 +210,8 @@ def _vert_pallas_call(lo, n_live, q_small, ref_mat, *, tile, window, radius):
 def verticality_banded(points: np.ndarray, queries: np.ndarray,
                        search_radius: float, tile: int = DEFAULT_TILE,
                        window: int | None = None,
-                       max_window: int = DEFAULT_WINDOW):
+                       max_window: int = DEFAULT_WINDOW,
+                       return_device_refs: bool = False):
     """Exact radius-neighborhood verticality of ``queries`` against ``points``.
 
     Host orchestration: numpy sorts both sides by xy cell key and computes the
@@ -197,6 +222,11 @@ def verticality_banded(points: np.ndarray, queries: np.ndarray,
     cnt (Q,), overflow_mask (Q,) bool) in the original query order — entries
     of overflowing tiles are NOT computed (caller routes them to the XLA
     pass).
+
+    With ``return_device_refs`` a 4th element is appended: the device-resident
+    padded sorted ref coordinates ((v_pad, 3) f32 jax array, rows >= n_ref
+    zero) with the live-row count — the XLA straggler pass reuses it instead
+    of uploading the ref cloud a second time.
     """
     points = np.asarray(points, np.float32)
     queries = np.asarray(queries, np.float32)
@@ -236,28 +266,26 @@ def verticality_banded(points: np.ndarray, queries: np.ndarray,
         window = int(min(max(1 << int(np.ceil(np.log2(max(span, _ALIGN)))),
                              _ALIGN), max_window))
 
-    v_pad = max(int(np.ceil(nr / _ALIGN)) * _ALIGN, window)
+    # pow2 bucket (not just 128-aligned): keeps the jit shape stable across
+    # plots of similar size, and the XLA straggler pass reuses this array at
+    # the same shape (ops/features.py) — its compile key must not vary per
+    # plot
+    v_pad = max(1 << int(np.ceil(np.log2(max(nr, _ALIGN)))), window)
     lo = np.clip(lo_raw, 0, v_pad - window).astype(np.int32)
     overflow_tiles = (hi_raw > lo + window).any(axis=0)
 
-    # feature-major ref matrix (8, V_pad): [valid, x, y, z, i, j]
-    ref_mat = np.zeros((8, v_pad), np.float32)
-    ref_mat[0, :nr] = 1.0
-    ref_mat[1:4, :nr] = points[order_r].T
-    ref_mat[4, :nr] = ij_r[order_r, 0].astype(np.float32)
-    ref_mat[5, :nr] = ij_r[order_r, 1].astype(np.float32)
-
-    # compact query matrix (Q, 8): [x, y, z, i, j, valid, 0, 0] — padded to
-    # the (Q, 128) lane layout on device, not on the host->device wire
-    q_small = np.zeros((q_pad, 8), np.float32)
-    q_small[:nq, 0:3] = queries[order_q]
-    q_small[:nq, 3] = ij_q[order_q, 0].astype(np.float32)
-    q_small[:nq, 4] = ij_q[order_q, 1].astype(np.float32)
-    q_small[:nq, 5] = 1.0
+    # only raw sorted coordinates cross the wire; cell indices, valid flags
+    # and the feature-major layouts are built in-jit (_vert_pallas_call)
+    pts_sorted = np.zeros((v_pad, 3), np.float32)
+    pts_sorted[:nr] = points[order_r]
+    q_pts = np.zeros((q_pad, 3), np.float32)
+    q_pts[:nq] = queries[order_q]
+    nums = np.asarray([nq, nr, mins[0], mins[1]], np.int32)
 
     n_live = np.asarray([nq], np.int32)
+    pts_dev = jnp.asarray(pts_sorted)
     out = _vert_pallas_call(jnp.asarray(lo), jnp.asarray(n_live),
-                            jnp.asarray(q_small), jnp.asarray(ref_mat),
+                            jnp.asarray(q_pts), pts_dev, jnp.asarray(nums),
                             tile=tile, window=window,
                             radius=float(search_radius))
     out_np = np.asarray(out, np.float32)
@@ -268,4 +296,7 @@ def verticality_banded(points: np.ndarray, queries: np.ndarray,
 
     inv = np.empty(nq, np.int64)
     inv[order_q] = np.arange(nq)
+    if return_device_refs:
+        return (vert_sorted[inv], cnt_sorted[inv], over_sorted[inv],
+                (pts_dev, nr))
     return vert_sorted[inv], cnt_sorted[inv], over_sorted[inv]
