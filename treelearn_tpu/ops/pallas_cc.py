@@ -113,13 +113,32 @@ def _cc_kernel(lo_ref, n_live_ref, q_ref, refs_hbm, out_ref, window_buf,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window", "eps"))
-def _cc_pallas_call(lo, n_live, q_small, ref_mat, *, tile, window, eps):
-    # device-side lane padding of the compact (Q, 8) query matrix, and the
-    # (Q, 128) bit-weighted accumulator reduced to ONE int32 bitmask per
-    # query before D2H (the full block was ~74 MB over the tunnel)
-    nq = q_small.shape[0]
-    q_mat = jnp.zeros((nq, 128), jnp.float32).at[:, :q_small.shape[1]].set(
-        q_small)
+def _cc_pallas_call(lo, n_live, pts2_sorted, nums_i, nums_f, *, tile, window,
+                    eps):
+    # Queries and refs are the SAME sorted 2D points here, so only ONE raw
+    # (V, 2) coordinate array crosses the wire (~0.8 MB at 96k candidates vs
+    # ~6 MB for the two host-built feature layouts); cell indices, valid
+    # flags and both matrices are derived in-jit (see ops/pallas_vert.py).
+    # ``nums_i`` = int32 [n, min_i, min_j]; ``nums_f`` = f32 [cell].  The
+    # (Q, 128) bit-weighted accumulator still reduces to ONE int32 bitmask
+    # per query before D2H (the full block was ~74 MB over the tunnel).
+    v_pad = pts2_sorted.shape[0]
+    nq = lo.shape[1] * tile
+    n, mins = nums_i[0], nums_i[1:3]
+    cell = nums_f[0]
+
+    rvalid = (jnp.arange(v_pad, dtype=jnp.int32) < n)
+    ij = (jnp.floor(pts2_sorted / cell).astype(jnp.int32)
+          - mins[None, :]).astype(jnp.float32)
+    ij = jnp.where(rvalid[:, None], ij, 0.0)
+    ref_mat = (jnp.zeros((8, v_pad), jnp.float32)
+               .at[0, :].set(rvalid.astype(jnp.float32))
+               .at[1:3, :].set(pts2_sorted.T)
+               .at[3:5, :].set(ij.T))
+    q_mat = (jnp.zeros((nq, 128), jnp.float32)
+             .at[:, 0:2].set(pts2_sorted[:nq])
+             .at[:, 2:4].set(ij[:nq])
+             .at[:, 4].set(rvalid[:nq].astype(jnp.float32)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nq // tile,),
@@ -205,7 +224,8 @@ def cc_labels_banded(points_xy: np.ndarray, eps: float,
     cell = np.float32(float(eps) / np.sqrt(2.0))
 
     ij = np.floor(pts / cell).astype(np.int64)
-    ij -= ij.min(axis=0)
+    mins_ij = ij.min(axis=0)
+    ij -= mins_ij
     keys = ij[:, 0] * _GRID_WIDTH + ij[:, 1]
     order = np.argsort(keys, kind="stable")
     skeys = keys[order]
@@ -229,28 +249,21 @@ def cc_labels_banded(points_xy: np.ndarray, eps: float,
         window = int(min(max(1 << int(np.ceil(np.log2(max(span, _ALIGN)))),
                              _ALIGN), max_window))
 
-    v_pad = max(int(np.ceil(n / _ALIGN)) * _ALIGN, window)
+    # pow2 bucket: stable jit shapes across calls (see pallas_vert); always
+    # >= q_pad (the smallest pow2 64-multiple >= n bounds ceil64(n))
+    v_pad = max(1 << int(np.ceil(np.log2(max(n, _ALIGN)))), window)
     lo = np.clip(lo_raw, 0, v_pad - window).astype(np.int32)
     overflow_tiles = (hi_raw > lo + window).any(axis=0)
 
-    # feature-major ref matrix (8, V_pad): [valid, x, y, i, j]
-    ref_mat = np.zeros((8, v_pad), np.float32)
-    ref_mat[0, :n] = 1.0
-    ref_mat[1, :n] = spts[:, 0]
-    ref_mat[2, :n] = spts[:, 1]
-    ref_mat[3, :n] = sij[:, 0].astype(np.float32)
-    ref_mat[4, :n] = sij[:, 1].astype(np.float32)
-
-    # compact query matrix (Q, 8): [x, y, i, j, valid, 0, 0, 0]
-    q_small = np.zeros((q_pad, 8), np.float32)
-    q_small[:n, 0:2] = spts
-    q_small[:n, 2] = sij[:, 0].astype(np.float32)
-    q_small[:n, 3] = sij[:, 1].astype(np.float32)
-    q_small[:n, 4] = 1.0
+    pts2_sorted = np.zeros((v_pad, 2), np.float32)
+    pts2_sorted[:n] = spts
+    nums_i = np.asarray([n, mins_ij[0], mins_ij[1]], np.int32)
+    nums_f = np.asarray([cell], np.float32)
 
     masks = np.asarray(_cc_pallas_call(
-        jnp.asarray(lo), jnp.asarray([n], np.int32), jnp.asarray(q_small),
-        jnp.asarray(ref_mat), tile=tile, window=window, eps=float(eps)))
+        jnp.asarray(lo), jnp.asarray([n], np.int32),
+        jnp.asarray(pts2_sorted), jnp.asarray(nums_i), jnp.asarray(nums_f),
+        tile=tile, window=window, eps=float(eps)))
     found = (((masks[:n, None] >> np.arange(25)[None, :]) & 1)
              .astype(bool))
 

@@ -122,14 +122,43 @@ def _knn_kernel(lo_ref, n_live_ref, q_ref, refs_hbm, out_ref, window_buf,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window", "k"))
-def _knn_pallas_call(lo, n_live, q_small, ref_mat, *, tile, window, k):
-    # coordinates arrive pre-scaled by 1/cell, so the in-radius test is the
+def _knn_pallas_call(lo, n_live, q_pts, pts_sorted, lab_sorted, nums_i,
+                     nums_f, *, tile, window, k):
+    # Coordinates are scaled by 1/cell IN-JIT, so the in-radius test is the
     # STATIC constant 1.0 — one compiled program serves every escalation
     # round and every dataset extent (a static radius would recompile per
-    # cell size).
-    nq = q_small.shape[0]
-    q_mat = jnp.zeros((nq, 128), jnp.float32).at[:, :q_small.shape[1]].set(
-        q_small)
+    # cell size).  Like ops/pallas_vert.py, both feature matrices are built
+    # on device from the raw sorted coordinates + labels: the host-built
+    # (8, V) + (Q, 8) layouts shipped ~2.4x the bytes through the tunnel.
+    # ``nums_i`` = int32 [nq, nr, min_i, min_j]; ``nums_f`` = f32
+    # [cell, inv_cell] (dynamic: cell changes per escalation round).  The
+    # device mirrors the host span-table math exactly: ij from DIVISION by
+    # cell, scaled coords from MULTIPLICATION by inv_cell (f32 rounding of
+    # the two differs; the kernel mask needs the former, the distance test
+    # the latter).
+    nq_pad = q_pts.shape[0]
+    v_pad = pts_sorted.shape[0]
+    n_q, n_r = nums_i[0], nums_i[1]
+    mins = nums_i[2:4]
+    cell, inv_cell = nums_f[0], nums_f[1]
+
+    ij_q = (jnp.floor(q_pts[:, :2] / cell).astype(jnp.int32)
+            - mins[None, :]).astype(jnp.float32)
+    qvalid = (jnp.arange(nq_pad, dtype=jnp.int32) < n_q)
+    q_mat = (jnp.zeros((nq_pad, 128), jnp.float32)
+             .at[:, 0:3].set(q_pts * inv_cell)
+             .at[:, 3:5].set(ij_q)
+             .at[:, 5].set(qvalid.astype(jnp.float32)))
+
+    rvalid = (jnp.arange(v_pad, dtype=jnp.int32) < n_r)
+    ij_r = (jnp.floor(pts_sorted[:, :2] / cell).astype(jnp.int32)
+            - mins[None, :]).astype(jnp.float32)
+    ref_mat = (jnp.zeros((8, v_pad), jnp.float32)
+               .at[0, :].set(rvalid.astype(jnp.float32))
+               .at[1:4, :].set((pts_sorted * inv_cell).T)
+               .at[4:6, :].set(jnp.where(rvalid[None, :], ij_r.T, 0.0))
+               .at[6, :].set(lab_sorted))
+    nq = nq_pad
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nq // tile,),
@@ -223,27 +252,27 @@ def _banded_knn_pass(ref_pts, ref_labels, query_pts, cell, k,
     span = int(np.percentile(spans, 90)) if ntiles else _ALIGN
     window = int(min(max(1 << int(np.ceil(np.log2(max(span, _ALIGN)))),
                          _ALIGN), MAX_WINDOW))
-    v_pad = max(int(np.ceil(nr / _ALIGN)) * _ALIGN, window)
+    # pow2 bucket: stable jit shapes across plots/rounds (see pallas_vert)
+    v_pad = max(1 << int(np.ceil(np.log2(max(nr, _ALIGN)))), window)
     lo = np.clip(lo_raw, 0, v_pad - window).astype(np.int32)
     overflow_tiles = (hi_raw > lo + window).any(axis=0)
 
-    inv_cell = np.float32(1.0 / cell)
-    ref_mat = np.zeros((8, v_pad), np.float32)
-    ref_mat[0, :nr] = 1.0
-    ref_mat[1:4, :nr] = ref_pts[order_r, :3].T * inv_cell
-    ref_mat[4, :nr] = ij_r[order_r, 0].astype(np.float32)
-    ref_mat[5, :nr] = ij_r[order_r, 1].astype(np.float32)
-    ref_mat[6, :nr] = ref_labels[order_r].astype(np.float32)
-
-    q_small = np.zeros((q_pad, 8), np.float32)
-    q_small[:nq, 0:3] = query_pts[order_q, :3] * inv_cell
-    q_small[:nq, 3] = ij_q[order_q, 0].astype(np.float32)
-    q_small[:nq, 4] = ij_q[order_q, 1].astype(np.float32)
-    q_small[:nq, 5] = 1.0
+    # only raw sorted coordinates + labels cross the wire; scaling, cell
+    # indices and layouts are built in-jit (_knn_pallas_call)
+    pts_sorted = np.zeros((v_pad, 3), np.float32)
+    pts_sorted[:nr] = ref_pts[order_r, :3]
+    lab_sorted = np.zeros(v_pad, np.float32)
+    lab_sorted[:nr] = ref_labels[order_r]
+    q_pts = np.zeros((q_pad, 3), np.float32)
+    q_pts[:nq] = query_pts[order_q, :3]
+    nums_i = np.asarray([nq, nr, mins[0], mins[1]], np.int32)
+    nums_f = np.asarray([cell, np.float32(1.0 / cell)], np.float32)
 
     packed = np.asarray(_knn_pallas_call(
-        jnp.asarray(lo), jnp.asarray([nq], np.int32), jnp.asarray(q_small),
-        jnp.asarray(ref_mat), tile=tile, window=window, k=int(k)))[:nq]
+        jnp.asarray(lo), jnp.asarray([nq], np.int32), jnp.asarray(q_pts),
+        jnp.asarray(pts_sorted), jnp.asarray(lab_sorted),
+        jnp.asarray(nums_i), jnp.asarray(nums_f),
+        tile=tile, window=window, k=int(k)))[:nq]
     done = packed >= (1 << 30)
     winner = np.where(done, packed & ~(1 << 30), -1)
 
