@@ -63,8 +63,21 @@ def get_instances(coords: np.ndarray, offset: np.ndarray,
     features (model.use_feats false, the reference default)."""
     cluster_coords = (coords + offset)[:, :3]
 
-    probs = softmax_np(np.asarray(semantic_prediction_logits, np.float64))
-    tree_mask = probs[:, tree_class_in_dataset] >= grouping_cfg.tree_conf_thresh
+    logits = np.asarray(semantic_prediction_logits)
+    thr = float(grouping_cfg.tree_conf_thresh)
+    if logits.ndim == 2 and logits.shape[1] == 2 and 0.0 < thr < 1.0:
+        # softmax is monotone, so for the binary head the confidence test is
+        # exactly the logit margin vs log-odds — skips a float64 softmax over
+        # the whole plot (4.05 s of the 12 s cluster stage at 3.75M voxels,
+        # single-core host; the margin subtract is ~20 ms).  Boundary parity
+        # incl. the l0 == l1, thr == 0.5 knife-edge: margin 0 >= log(1) = 0.
+        other = 1 - tree_class_in_dataset
+        margin = (logits[:, tree_class_in_dataset].astype(np.float64)
+                  - logits[:, other].astype(np.float64))
+        tree_mask = margin >= np.log(thr / (1.0 - thr))
+    else:
+        probs = softmax_np(np.asarray(logits, np.float64))
+        tree_mask = probs[:, tree_class_in_dataset] >= thr
     offset_mask = np.abs(offset[:, 2]) < grouping_cfg.tau_off
     if verticality_feat is None:
         from ..ops.features import compute_verticality
