@@ -325,25 +325,33 @@ def main():
             leash = 240 if heartbeat["phase"] == "warm+probe" else 360
             if time.time() - heartbeat["t"] < leash:
                 continue
-            if RESULT.get("cold_seconds"):
-                # something is already scored: emit what we have instead of
-                # burning the rest of the budget inside a dead client
-                log(f"no progress for {leash}s in phase "
-                    f"'{heartbeat['phase']}' with results in hand: emitting")
-                DEGRADED.append(f"stalled_in_{heartbeat['phase']}")
-                emit_result()
-                os._exit(0)
-            if not os.environ.get("_TL_BENCH_LINK_RETRY"):
+            retries = int(os.environ.get("_TL_BENCH_LINK_RETRY", "0"))
+            if retries < 2 and remaining() > 300:
+                # re-exec EVEN IF partial results exist: a fresh client redoes
+                # the cold pass in ~1-2 min warm, vs certainly losing every
+                # remaining scored pass inside a dead client (the first
+                # with-results policy emitted a cold-only run at 613 s with
+                # 900 s of budget still on the table)
                 log(f"device phase '{heartbeat['phase']}' wedged >{leash}s: "
-                    "re-exec with a fresh tunnel client (one retry)")
-                os.environ["_TL_BENCH_LINK_RETRY"] = "1"
+                    f"re-exec with a fresh tunnel client "
+                    f"(retry {retries + 1}/2)")
+                os.environ["_TL_BENCH_LINK_RETRY"] = str(retries + 1)
                 os.environ["BENCH_BUDGET_S"] = str(max(remaining() - 10, 120))
                 sys.stdout.flush()
                 sys.stderr.flush()
                 os.execv(sys.executable,
                          [sys.executable, os.path.abspath(__file__)]
                          + sys.argv[1:])
-            # retry spent and nothing scored: leave it to the budget alarm
+            if RESULT.get("cold_seconds"):
+                # retries exhausted (or budget too thin to redo the cold
+                # pass) with something scored: emit it rather than burning
+                # the rest of the budget inside a dead client
+                log(f"no progress for {leash}s in phase "
+                    f"'{heartbeat['phase']}' with results in hand: emitting")
+                DEGRADED.append(f"stalled_in_{heartbeat['phase']}")
+                emit_result()
+                os._exit(0)
+            # retries spent and nothing scored: leave it to the budget alarm
 
     log(f"device: {jax.devices()[0]}")
     work = os.path.abspath("bench_workdir")
@@ -432,8 +440,9 @@ def main():
     except Exception as e:  # the probe is reporting, not gating
         log(f"tunnel probe failed: {type(e).__name__}: {e}")
     beat("cold_pass")
-    if os.environ.get("_TL_BENCH_LINK_RETRY"):
-        DEGRADED.append("link_retry_reexec")
+    retries_used = os.environ.get("_TL_BENCH_LINK_RETRY")
+    if retries_used:
+        DEGRADED.append(f"link_retry_reexec_{retries_used}")
 
     # Install-time prewarm (VERDICT r2 item 7): a SUBPROCESS runs the same
     # pipeline once via tools/prewarm.py, populating the persistent compile +
@@ -505,7 +514,7 @@ def main():
         log(f"tunnel: {RESULT['tunnel_after_cold']}")
     except Exception as e:
         log(f"tunnel probe failed: {type(e).__name__}: {e}")
-    beat("score+smoke")
+    beat("score")
 
     pw = os.path.join(result["results_dir"], "pointwise_results",
                       "pointwise_results.npz")
@@ -523,21 +532,6 @@ def main():
             "commission_error_rate": q["commission_error_rate"],
             "mean_matched_iou": q.get("mean_matched_iou"),
         })
-
-    # compiled-kernel smoke early (VERDICT r4 item 7): every Pallas kernel
-    # family vs its exact oracle ON DEVICE (the CPU tests run interpret mode;
-    # this records evidence for the Mosaic lowerings).  TL_TPU_SMOKE=0 skips.
-    if os.environ.get("TL_TPU_SMOKE", "1") != "0" and remaining() > 30:
-        from treelearn_tpu.utils.smoke import run_tpu_smoke
-
-        t0 = time.time()
-        smoke = run_tpu_smoke()
-        log(f"tpu kernel smoke: {smoke['passed']} passed "
-            f"{smoke['failed']} failed {smoke['checks']} "
-            f"({time.time()-t0:.1f}s)")
-        RESULT["tpu_smoke"] = smoke
-    elif os.environ.get("TL_TPU_SMOKE", "1") != "0":
-        DEGRADED.append("tpu_smoke_skipped")
 
     # several steady passes, keep the fastest: the tunneled device's host
     # link load varies minute to minute (identical passes measured 12.7 s
@@ -697,6 +691,25 @@ def main():
         config.grouping.use_hdbscan = False
     elif os.environ.get("BENCH_HDBSCAN", "1") != "0":
         DEGRADED.append("hdbscan_pass_skipped")
+
+    # compiled-kernel smoke (VERDICT r4 item 7): every Pallas kernel family
+    # vs its exact oracle ON DEVICE (the CPU tests run interpret mode; this
+    # records evidence for the Mosaic lowerings).  Runs AFTER every scored
+    # pass: at ~2 min (the 220k-candidate device-HDBSCAN check dominates) it
+    # is the longest wedge window in the bench, and a stall here must not
+    # cost the headline numbers.  TL_TPU_SMOKE=0 skips.
+    if os.environ.get("TL_TPU_SMOKE", "1") != "0" and remaining() > 30:
+        from treelearn_tpu.utils.smoke import run_tpu_smoke
+
+        beat("smoke")
+        t0 = time.time()
+        smoke = run_tpu_smoke()
+        log(f"tpu kernel smoke: {smoke['passed']} passed "
+            f"{smoke['failed']} failed {smoke['checks']} "
+            f"({time.time()-t0:.1f}s)")
+        RESULT["tpu_smoke"] = smoke
+    elif os.environ.get("TL_TPU_SMOKE", "1") != "0":
+        DEGRADED.append("tpu_smoke_skipped")
 
     if (os.environ.get("BENCH_DECOMPOSE", "1") != "0" and tm.get("steps")
             and remaining() > 120):
