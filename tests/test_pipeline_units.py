@@ -149,3 +149,22 @@ def test_fill_occupancy_holes_matches_per_cell_loop():
                                              >= thresh)
         got = fill_occupancy_holes(occ, k, thresh)
         np.testing.assert_array_equal(got, expect)
+
+
+def test_logit_margin_equals_softmax_threshold():
+    """The binary-head confidence gate in get_instances is the logit margin
+    vs log-odds (pipeline/instances.py), replacing a float64 softmax over the
+    whole plot; the two must agree exactly — including l0 == l1 knife-edge
+    rows at thr 0.5 (margin 0 >= log(1) = 0 iff p = 0.5 >= 0.5)."""
+    from treelearn_tpu.pipeline.instances import softmax_np
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(scale=4.0, size=(20000, 2)).astype(np.float32)
+    logits[:64, 1] = logits[:64, 0]  # knife-edge ties
+    for thr in (0.3, 0.5, 0.84):
+        probs = softmax_np(np.asarray(logits, np.float64))
+        ref = probs[:, 0] >= thr
+        margin = (logits[:, 0].astype(np.float64)
+                  - logits[:, 1].astype(np.float64))
+        got = margin >= np.log(thr / (1.0 - thr))
+        assert np.array_equal(ref, got), thr
