@@ -119,16 +119,19 @@ def _cc_pallas_call(lo, n_live, pts2_sorted, nums_i, nums_f, *, tile, window,
     # (V, 2) coordinate array crosses the wire (~0.8 MB at 96k candidates vs
     # ~6 MB for the two host-built feature layouts); cell indices, valid
     # flags and both matrices are derived in-jit (see ops/pallas_vert.py).
-    # ``nums_i`` = int32 [n, min_i, min_j]; ``nums_f`` = f32 [cell].  The
+    # ``nums_i`` = int32 [n, min_i, min_j]; ``nums_f`` = f32
+    # [cell, inv_cell].  Cell indices come from floor(x * inv_cell) with the
+    # host's exact f32 reciprocal (f32 multiply is IEEE on the TPU VPU, f32
+    # division is not — see ops/pallas_vert.py).  The
     # (Q, 128) bit-weighted accumulator still reduces to ONE int32 bitmask
     # per query before D2H (the full block was ~74 MB over the tunnel).
     v_pad = pts2_sorted.shape[0]
     nq = lo.shape[1] * tile
     n, mins = nums_i[0], nums_i[1:3]
-    cell = nums_f[0]
+    inv_cell = nums_f[1]
 
     rvalid = (jnp.arange(v_pad, dtype=jnp.int32) < n)
-    ij = (jnp.floor(pts2_sorted / cell).astype(jnp.int32)
+    ij = (jnp.floor(pts2_sorted * inv_cell).astype(jnp.int32)
           - mins[None, :]).astype(jnp.float32)
     ij = jnp.where(rvalid[:, None], ij, 0.0)
     ref_mat = (jnp.zeros((8, v_pad), jnp.float32)
@@ -223,7 +226,9 @@ def cc_labels_banded(points_xy: np.ndarray, eps: float,
         return np.zeros(0, np.int64)
     cell = np.float32(float(eps) / np.sqrt(2.0))
 
-    ij = np.floor(pts / cell).astype(np.int64)
+    # same f32 reciprocal-multiply as the device (_cc_pallas_call)
+    inv_cell = np.float32(1.0) / cell
+    ij = np.floor(pts * inv_cell).astype(np.int64)
     mins_ij = ij.min(axis=0)
     ij -= mins_ij
     keys = ij[:, 0] * _GRID_WIDTH + ij[:, 1]
@@ -258,7 +263,7 @@ def cc_labels_banded(points_xy: np.ndarray, eps: float,
     pts2_sorted = np.zeros((v_pad, 2), np.float32)
     pts2_sorted[:n] = spts
     nums_i = np.asarray([n, mins_ij[0], mins_ij[1]], np.int32)
-    nums_f = np.asarray([cell], np.float32)
+    nums_f = np.asarray([cell, inv_cell], np.float32)
 
     masks = np.asarray(_cc_pallas_call(
         jnp.asarray(lo), jnp.asarray([n], np.int32),

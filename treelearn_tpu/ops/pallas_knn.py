@@ -131,18 +131,19 @@ def _knn_pallas_call(lo, n_live, q_pts, pts_sorted, lab_sorted, nums_i,
     # on device from the raw sorted coordinates + labels: the host-built
     # (8, V) + (Q, 8) layouts shipped ~2.4x the bytes through the tunnel.
     # ``nums_i`` = int32 [nq, nr, min_i, min_j]; ``nums_f`` = f32
-    # [cell, inv_cell] (dynamic: cell changes per escalation round).  The
-    # device mirrors the host span-table math exactly: ij from DIVISION by
-    # cell, scaled coords from MULTIPLICATION by inv_cell (f32 rounding of
-    # the two differs; the kernel mask needs the former, the distance test
-    # the latter).
+    # [cell, inv_cell] (dynamic: cell changes per escalation round).  Cell
+    # indices AND scaled coords both come from multiplication by the host's
+    # inv_cell value: f32 multiply is correctly rounded on the TPU VPU, f32
+    # division is not — the host span-table mirror (_banded_knn_pass) uses
+    # the identical multiply, so boundary points cannot drift cells between
+    # the two sides.  nums_f[0] (cell) is kept for signature stability.
     nq_pad = q_pts.shape[0]
     v_pad = pts_sorted.shape[0]
     n_q, n_r = nums_i[0], nums_i[1]
     mins = nums_i[2:4]
-    cell, inv_cell = nums_f[0], nums_f[1]
+    inv_cell = nums_f[1]
 
-    ij_q = (jnp.floor(q_pts[:, :2] / cell).astype(jnp.int32)
+    ij_q = (jnp.floor(q_pts[:, :2] * inv_cell).astype(jnp.int32)
             - mins[None, :]).astype(jnp.float32)
     qvalid = (jnp.arange(nq_pad, dtype=jnp.int32) < n_q)
     q_mat = (jnp.zeros((nq_pad, 128), jnp.float32)
@@ -151,7 +152,7 @@ def _knn_pallas_call(lo, n_live, q_pts, pts_sorted, lab_sorted, nums_i,
              .at[:, 5].set(qvalid.astype(jnp.float32)))
 
     rvalid = (jnp.arange(v_pad, dtype=jnp.int32) < n_r)
-    ij_r = (jnp.floor(pts_sorted[:, :2] / cell).astype(jnp.int32)
+    ij_r = (jnp.floor(pts_sorted[:, :2] * inv_cell).astype(jnp.int32)
             - mins[None, :]).astype(jnp.float32)
     ref_mat = (jnp.zeros((8, v_pad), jnp.float32)
                .at[0, :].set(rvalid.astype(jnp.float32))
@@ -221,8 +222,11 @@ def _banded_knn_pass(ref_pts, ref_labels, query_pts, cell, k,
     nr, nq = len(ref_pts), len(query_pts)
     width = _GRID_WIDTH
 
-    ij_r = np.floor(ref_pts[:, :2] / cell).astype(np.int64)
-    ij_q = np.floor(query_pts[:, :2] / cell).astype(np.int64)
+    # same f32 reciprocal-multiply as the device (_knn_pallas_call): f32
+    # multiply is IEEE on both sides, division on the TPU VPU is not
+    inv_cell32 = np.float32(1.0) / np.float32(cell)
+    ij_r = np.floor(ref_pts[:, :2] * inv_cell32).astype(np.int64)
+    ij_q = np.floor(query_pts[:, :2] * inv_cell32).astype(np.int64)
     mins = np.minimum(ij_r.min(axis=0), ij_q.min(axis=0))
     ij_r -= mins
     ij_q -= mins
@@ -266,7 +270,7 @@ def _banded_knn_pass(ref_pts, ref_labels, query_pts, cell, k,
     q_pts = np.zeros((q_pad, 3), np.float32)
     q_pts[:nq] = query_pts[order_q, :3]
     nums_i = np.asarray([nq, nr, mins[0], mins[1]], np.int32)
-    nums_f = np.asarray([cell, np.float32(1.0 / cell)], np.float32)
+    nums_f = np.asarray([cell, inv_cell32], np.float32)
 
     packed = np.asarray(_knn_pallas_call(
         jnp.asarray(lo), jnp.asarray([nq], np.int32), jnp.asarray(q_pts),

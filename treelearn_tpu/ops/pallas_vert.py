@@ -146,11 +146,17 @@ def _vert_pallas_call(lo, n_live, q_pts, pts_sorted, nums, *, tile, window,
     # host-computed so device cell indices match the host span tables).
     nq_pad = q_pts.shape[0]
     v_pad = pts_sorted.shape[0]
-    cell = jnp.float32(radius)
+    # cell index = floor(x * inv_cell), NEVER floor(x / cell): f32 multiply
+    # is correctly rounded on the TPU VPU, but f32 division lowers to a
+    # reciprocal refinement that may round differently from the host's IEEE
+    # division — a 1-ulp drift at a cell boundary would silently break the
+    # band mask against the host-built span tables.  The host mirror
+    # (verticality_banded) uses the identical f32 constant and multiply.
+    inv_cell = jnp.float32(np.float32(1.0) / np.float32(radius))
     n_q, n_r = nums[0], nums[1]
     mins = nums[2:4]
 
-    ij_q = (jnp.floor(q_pts[:, :2] / cell).astype(jnp.int32)
+    ij_q = (jnp.floor(q_pts[:, :2] * inv_cell).astype(jnp.int32)
             - mins[None, :]).astype(jnp.float32)
     qvalid = (jnp.arange(nq_pad, dtype=jnp.int32) < n_q)
     q_mat = (jnp.zeros((nq_pad, 128), jnp.float32)
@@ -159,7 +165,7 @@ def _vert_pallas_call(lo, n_live, q_pts, pts_sorted, nums, *, tile, window,
              .at[:, 5].set(qvalid.astype(jnp.float32)))
 
     rvalid = (jnp.arange(v_pad, dtype=jnp.int32) < n_r)
-    ij_r = (jnp.floor(pts_sorted[:, :2] / cell).astype(jnp.int32)
+    ij_r = (jnp.floor(pts_sorted[:, :2] * inv_cell).astype(jnp.int32)
             - mins[None, :]).astype(jnp.float32)
     ref_mat = (jnp.zeros((8, v_pad), jnp.float32)
                .at[0, :].set(rvalid.astype(jnp.float32))
@@ -234,8 +240,12 @@ def verticality_banded(points: np.ndarray, queries: np.ndarray,
     cell = float(search_radius)
     width = _GRID_WIDTH
 
-    ij_r = np.floor(points[:, :2] / cell).astype(np.int64)
-    ij_q = np.floor(queries[:, :2] / cell).astype(np.int64)
+    # multiply by the f32 reciprocal, floor — the EXACT formula the device
+    # uses in _vert_pallas_call (f32 multiply is IEEE on both sides; f32
+    # division is not guaranteed so on the TPU VPU)
+    inv_cell = np.float32(1.0) / np.float32(cell)
+    ij_r = np.floor(points[:, :2] * inv_cell).astype(np.int64)
+    ij_q = np.floor(queries[:, :2] * inv_cell).astype(np.int64)
     mins = np.minimum(ij_r.min(axis=0), ij_q.min(axis=0))
     ij_r -= mins
     ij_q -= mins
