@@ -146,7 +146,8 @@ def install_watchdogs():
 
 
 def _probe_tunnel():
-    """{"rtt_ms", "d2h_mbps"} for the host<->device link RIGHT NOW.
+    """{"rtt_ms", "d2h_mb_per_s"} for the host<->device link RIGHT NOW
+    (megaBYTES per second, not megabits).
 
     The tunneled v5e's link state varies minute to minute (identical cold
     passes measured 16.9 s and 366.8 s on the same commit + caches, 20 min
@@ -171,7 +172,7 @@ def _probe_tunnel():
     np.asarray(big)
     d2h_s = time.perf_counter() - t0
     return {"rtt_ms": round(min(rtts) * 1e3, 1),
-            "d2h_mbps": round(4.0 / max(d2h_s, 1e-9), 1)}
+            "d2h_mb_per_s": round(4.0 / max(d2h_s, 1e-9), 1)}
 
 
 def _decompose_model_step(config, work, log):
@@ -199,23 +200,17 @@ def _decompose_model_step(config, work, log):
     ss = [int(np.ceil((np.ceil(e / vs) + 2) / 64)) * 64 for e in ext]
     nb = int(config.model.get("num_blocks", 7))
 
-    def _pow2(x):
-        return 1 << int(np.ceil(np.log2(max(int(x), 1))))
-
-    cap = _pow2(len(pts))
-    counts = level_voxel_counts_np(pts, vs, ss, nb)
-    caps = tuple(min(max(_pow2(int(c * 1.02)), 512), cap) for c in counts)
-    caps = (cap,) + caps[1:]
     from treelearn_tpu.model.blocks import level_tile_window
     from treelearn_tpu.ops.voxelize import level_span_windows_np
+    from treelearn_tpu.pipeline.windows import (pow2, select_level_caps,
+                                                select_level_windows)
 
+    cap = pow2(len(pts))
+    counts = level_voxel_counts_np(pts, vs, ss, nb)
+    caps = select_level_caps(counts, cap)
     tiles = [level_tile_window(32 * (l + 1))[0] for l in range(nb)]
     req = level_span_windows_np(pts, vs, ss, nb, tiles, slack=0)
-    ladder = (512, 640, 768, 1024, 1536, 2048, 3072, 4096)
-    wins = tuple(min(next((c for c in ladder
-                           if c >= r + (128 if cp >= (1 << 21) else 16)),
-                          ((r + 128 + 127) // 128) * 128), int(cp))
-                 for r, cp in zip(req, caps))
+    wins = select_level_windows(req, caps)
 
     mc = dict(config.model)
     mc["spatial_shape"] = ss
@@ -315,23 +310,29 @@ def main():
         heartbeat["t"] = time.time()
         heartbeat["phase"] = phase
 
+    # per-phase leashes: the probe retries for free (240 s); the cold pass
+    # can LEGITIMATELY run ~370 s on a slow-but-alive link (measured 366.8 s
+    # warm-cache cold, docs/performance.md) so it gets 480 s — wedges last
+    # 20-30 min, so the gap is safe; an opted-in subprocess prewarm
+    # legitimately runs >1000 s and must never be treated as wedged
+    _LEASH = {"warm+probe": 240, "cold_pass": 480, "prewarm": float("inf")}
+
     def _stall_guard():
-        # the probe phase gets a short leash (nothing is lost by retrying);
-        # later phases can legitimately sit in a 100 s compile, so 360 s
         while True:
             time.sleep(15)
             if heartbeat["t"] is None:
                 continue
-            leash = 240 if heartbeat["phase"] == "warm+probe" else 360
+            leash = _LEASH.get(heartbeat["phase"], 360)
             if time.time() - heartbeat["t"] < leash:
                 continue
             retries = int(os.environ.get("_TL_BENCH_LINK_RETRY", "0"))
-            if retries < 2 and remaining() > 300:
-                # re-exec EVEN IF partial results exist: a fresh client redoes
-                # the cold pass in ~1-2 min warm, vs certainly losing every
-                # remaining scored pass inside a dead client (the first
-                # with-results policy emitted a cold-only run at 613 s with
-                # 900 s of budget still on the table)
+            # a fresh client redoes everything warm in ~450 s; re-exec (even
+            # with partial results in memory — the first with-results policy
+            # emitted a cold-only run at 613 s with 900 s of budget on the
+            # table) while the budget can still buy a better run than the
+            # one in hand, else emit what we have
+            redo_cost = 600 if RESULT.get("seconds") else 300
+            if retries < 2 and remaining() > redo_cost:
                 log(f"device phase '{heartbeat['phase']}' wedged >{leash}s: "
                     f"re-exec with a fresh tunnel client "
                     f"(retry {retries + 1}/2)")
@@ -343,9 +344,9 @@ def main():
                          [sys.executable, os.path.abspath(__file__)]
                          + sys.argv[1:])
             if RESULT.get("cold_seconds"):
-                # retries exhausted (or budget too thin to redo the cold
-                # pass) with something scored: emit it rather than burning
-                # the rest of the budget inside a dead client
+                # retries exhausted (or budget too thin to redo) with
+                # something scored: emit it rather than burning the rest of
+                # the budget inside a dead client
                 log(f"no progress for {leash}s in phase "
                     f"'{heartbeat['phase']}' with results in hand: emitting")
                 DEGRADED.append(f"stalled_in_{heartbeat['phase']}")
@@ -457,6 +458,7 @@ def main():
     # installation whose persistent caches are already warm it measures
     # exec-cache deserialization + one plot, which is the production number.
     if os.environ.get("BENCH_PREWARM", "0") != "0" and remaining() > 1000:
+        beat("prewarm")  # unbounded leash: a legit prewarm runs >1000 s
         import subprocess
 
         import yaml
@@ -486,6 +488,7 @@ def main():
         else:
             log(f"install prewarm: {RESULT['prewarm_seconds']}s (subprocess; "
                 "compile + executable caches now warm)")
+        beat("cold_pass")
     elif os.environ.get("BENCH_PREWARM", "0") != "0":
         DEGRADED.append("prewarm_skipped")
         log(f"prewarm shed (budget: {remaining():.0f}s left)")

@@ -27,6 +27,9 @@ from treelearn_tpu.model import TreeLearn
 from treelearn_tpu.model.blocks import level_tile_window
 from treelearn_tpu.ops.voxelize import (level_span_windows_np,
                                         level_voxel_counts_np)
+from treelearn_tpu.pipeline.windows import (WINDOW_LADDER, pow2,
+                                            select_level_caps,
+                                            select_level_windows)
 
 VS = 0.1
 NB = 7
@@ -41,27 +44,21 @@ ext = pts.max(axis=0) - pts.min(axis=0)
 ss = [int(np.ceil((np.ceil(e / VS) + 2) / 64)) * 64 for e in ext]
 
 
-def _pow2(x):
-    return 1 << int(np.ceil(np.log2(max(int(x), 1))))
-
-
-cap = _pow2(len(pts))
+cap = pow2(len(pts))
 counts = level_voxel_counts_np(pts, VS, ss, NB)
-caps = tuple(min(max(_pow2(int(c * 1.02)), 512), cap) for c in counts)
-caps = (cap,) + caps[1:]
+caps = select_level_caps(counts, cap)
 tiles = [level_tile_window(32 * (l + 1))[0] for l in range(NB)]
 req = level_span_windows_np(pts, VS, ss, NB, tiles, slack=0)
 
 
 def wins_for(ladder):
-    return tuple(min(next((c for c in ladder
-                           if c >= r + (128 if cp >= (1 << 21) else 16)),
-                          ((r + 128 + 127) // 128) * 128), int(cp))
-                 for r, cp in zip(req, caps))
+    # the production selection formula with a substitute ladder — imported,
+    # not copied, so a policy change in pipeline/windows.py is measured here
+    return select_level_windows(req, caps, ladder=ladder)
 
 
-SHIPPED = (512, 640, 768, 1024, 1536, 2048, 3072, 4096)
-EXTENDED = (256, 384, 512, 640, 768, 1024, 1536, 2048, 3072, 4096)
+SHIPPED = WINDOW_LADDER
+EXTENDED = (256, 384) + WINDOW_LADDER
 
 model = TreeLearn(channels=CHANNELS, num_blocks=NB, kernel_size=3,
                   dim_coord=3, dim_feat=1, use_coords=False, use_feats=False,

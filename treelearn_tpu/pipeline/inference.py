@@ -306,12 +306,10 @@ def get_pointwise_preds(model, params, state, dataloader, *, voxel_capacity: int
         jbatch = {k: jax.device_put(np.asarray(batch[k]))
                   for k in _MODEL_INPUT_KEYS}
         if level_windows is not None:
-            ladder = (512, 640, 768, 1024, 1536, 2048, 3072, 4096)
-            bumped = tuple(
-                min(next((c for c in ladder if c > w), w * 2),
-                    (level_capacities[i] if level_capacities is not None
-                     else voxel_capacity))
-                for i, w in enumerate(level_windows))
+            from .windows import bump_windows
+
+            bumped = bump_windows(level_windows, level_capacities,
+                                  voxel_capacity)
             key = ("bump", batch["coords"].shape[0], batch["batch_size"],
                    inner_cap, bumped)
             if key not in fallback_cache:

@@ -34,6 +34,7 @@ from .instances import (
     propagate_preds,
 )
 from .tiles import generate_tiles
+from .windows import select_level_caps, select_level_windows
 from ..utils.timing import substage
 
 TREE_CLASS_IN_DATASET = 0
@@ -226,37 +227,19 @@ def run_treelearn_pipeline(config, config_path: Optional[str] = None,
 
             lvl_counts = level_voxel_counts_np(
                 vox_pts, vs, ss, int(config.model.get("num_blocks", 7)))
-            # 2% headroom: the host mirrors the device's float32 grid math,
-            # but fused XLA rounding may differ on boundary points
-            level_caps = tuple(
-                min(max(_pow2(int(c * 1.02)), 512), voxel_capacity_run)
-                for c in lvl_counts)
-            level_caps = (voxel_capacity_run,) + level_caps[1:]
+            level_caps = select_level_caps(lvl_counts, voxel_capacity_run)
             # measured per-level conv windows (VERDICT r4 items 4/5): the
             # fixed 3x-tile window both overpays the selection tax on sparse
             # plots and overflows into the exact-XLA fallback on dense ones
-            # (a 4M-voxel fallback crashed the TPU worker).  Bucket to a
-            # small ladder so similar plots share compiled programs; cap at
-            # the level capacity (the conv requires window <= V).
+            # (a 4M-voxel fallback crashed the TPU worker).  Selection
+            # formulas shared with the bench/probes in pipeline/windows.py.
             from ..model.blocks import level_tile_window
             from ..ops.voxelize import level_span_windows_np
 
             nb = int(config.model.get("num_blocks", 7))
             tiles = [level_tile_window(32 * (l + 1))[0] for l in range(nb)]
             req = level_span_windows_np(vox_pts, vs, ss, nb, tiles, slack=0)
-            ladder = (512, 640, 768, 1024, 1536, 2048, 3072, 4096)
-            # slack policy: the device's spans-ok flag still gates exactness
-            # at runtime, so the window only needs to be PROBABLY right.
-            # Small levels keep it tight (16: a few boundary voxels of
-            # host/device f32 drift) — a rare miss re-runs through the
-            # window-bump retry below at small-compile cost.  Plot-scale
-            # levels (cap >= 2^21) take the full 128 alignment-flip slack:
-            # their retry compile is ~a minute and worth avoiding.
-            level_windows = tuple(
-                min(next((c for c in ladder
-                          if c >= r + (128 if cp >= (1 << 21) else 16)),
-                         ((r + 128 + 127) // 128) * 128), int(cp))
-                for r, cp in zip(req, level_caps))
+            level_windows = select_level_windows(req, level_caps)
             logger.info(f"measured level windows {level_windows} "
                         f"(required {req})")
             loader = stream.whole_plot_batches(min_bucket=voxel_capacity_run)
